@@ -1,0 +1,37 @@
+"""recmv_tpu — a TPU-native JAX framework for reconstructing 3D dynamic
+cloth from monocular video (REC-MV capabilities, re-designed TPU-first).
+
+The reference system (GAP-LAB-CUHK-SZ/REC-MV, CVPR 2023) is a per-scene
+PyTorch/CUDA optimizer. This package rebuilds every capability on top of
+jax/XLA/pallas:
+
+- ``recmv_tpu.ops``      — kernels: positional encoding, trilinear grid
+  sampling (arbitrary-order AD), batched 3x3 inverse with singularity
+  masks, marching cubes with fixed-capacity buffers, coarse-to-fine
+  octree SDF evaluation, differentiable point/mesh rasterization.
+- ``recmv_tpu.models``   — SDF MLPs, render MLP, non-rigid offset MLP,
+  SMPL body model + LBS voxel skinner, composite deformation fields,
+  rectified perspective cameras, intersection-free feature curves.
+- ``recmv_tpu.geometry`` — host-side mesh structures and registration:
+  Laplacian editing, NRICP, ICP, polygon resampling, remeshing.
+- ``recmv_tpu.core``     — the per-scene optimization loop, losses,
+  surface-point root finding with implicit differentiation, curve and
+  beta pre-optimizers, checkpointing.
+- ``recmv_tpu.data``     — scene datasets (PeopleSnapshot / synthetic /
+  large-pose / animation), samplers, learnable per-frame parameters.
+- ``recmv_tpu.parallel`` — device-mesh construction and sharding
+  strategies (rays/frames/voxels/garments over ICI).
+- ``recmv_tpu.config``   — HOCON config parsing and garment taxonomy.
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# Correctness-first default: f32 matmuls accumulate in f32. JAX's default
+# precision performs bf16-split passes (≈1e-2 relative error) — acceptable
+# for giant NN matmuls, not for per-scene geometric optimization (Jacobian
+# algebra, FK chains, camera math, root-finding). Hot MLP kernels opt into
+# MXU-native bf16 explicitly by casting operands (see ops/ kernels) so the
+# performance-critical path is a deliberate choice, not a silent default.
+_jax.config.update("jax_default_matmul_precision", "float32")

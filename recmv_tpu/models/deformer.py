@@ -1,0 +1,114 @@
+"""Composite deformation field D = LBS ∘ non-rigid-offset, plus the
+Jacobian-based normal/ray warps.
+
+Parity targets:
+- ``CompositeDeformer`` (reference ``model/Deformer.py:22-34``): canonical
+  point → MLP offset → LBS posed point.
+- ``compute_Jacobian`` (``utils/utils.py:133-186``): the reference runs
+  three reverse-mode vjps through the deformer (double-differentiating the
+  CUDA grid sampler). TPU-native: ``jax.jacfwd`` per point — 3 jvps of a
+  3→3 map, cheaper and arbitrarily differentiable.
+- ``compute_deformed_normals`` (``utils/utils.py:198-230``): n ← J⁻ᵀ ∇sdf
+  with the singular-Jacobian fallback n ← J ∇sdf.
+- ``compute_cardinal_rays`` (``utils/utils.py:232-250``): view ray pulled
+  back to canonical space, r_c ← J⁻¹ r, fallback r_c ← r.
+- ``Inverse_Fl_Body`` (``model/Deformer.py:36-126``): undo per-curve rigid
+  alignment scale+translation in canonical body space.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.math3d import fast_3x3_inv
+from .skinner import SkinnerParams, skinner_apply
+from .translator import TranslatorStatic, translator_apply
+
+
+def deform_points(tr_params, tr_static: TranslatorStatic, sk: SkinnerParams,
+                  ps, cond, poses, trans, ratio=None, batch_inds=None):
+    """Full deformation: returns (posed points, canonical offsets).
+
+    ps (B,N,3) with cond (B,condlen) broadcast per frame, or flat (M,3)
+    with batch_inds (M,) and cond (M,condlen) pre-gathered.
+    """
+    if batch_inds is None:
+        B, N, _ = ps.shape
+        cond_b = jnp.broadcast_to(cond[:, None, :], (B, N, cond.shape[-1]))
+        offset_ps, offsets = translator_apply(tr_params, tr_static, ps, cond_b, ratio)
+        out = skinner_apply(sk, offset_ps, poses, trans)
+    else:
+        offset_ps, offsets = translator_apply(tr_params, tr_static, ps, cond, ratio)
+        out = skinner_apply(sk, offset_ps, poses, trans, batch_inds=batch_inds)
+    return out, offsets
+
+
+def deformer_jacobian(deform_fn, ps_flat: jnp.ndarray) -> jnp.ndarray:
+    """Per-point Jacobian ∂D/∂p of a flat 3→3 map.
+
+    deform_fn: (M,3) → (M,3) (already closed over conds/frames).
+    Returns (M,3,3) with J[m,i,j] = ∂D_i/∂p_j — same layout as the
+    reference's stacked vjp rows.
+    """
+
+    def single(p):
+        return deform_fn(p[None])[0]
+
+    return jax.vmap(jax.jacfwd(single))(ps_flat)
+
+
+def deformed_normals_from_grads(jac: jnp.ndarray, sdf_grads: jnp.ndarray):
+    """n = normalize(J⁻ᵀ ∇sdf) with the reference's singular fallback
+    (J ∇sdf where |det J| < 1e-4). Returns (normals, inv_ok_mask)."""
+    inv, ok = fast_3x3_inv(jac)
+    n = jnp.einsum("mji,mj->mi", inv, sdf_grads)  # J⁻ᵀ g = (gᵀ J⁻¹)ᵀ
+    fallback = jnp.einsum("mij,mj->mi", jac, sdf_grads)
+    n = jnp.where(ok[:, None], n, fallback)
+    n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12, None)
+    return n, ok
+
+
+def cardinal_rays_from_jac(jac: jnp.ndarray, rays: jnp.ndarray):
+    """Canonical-space rays r_c = normalize(J⁻¹ r); falls back to r when
+    the Jacobian is singular. Returns (rays_c, inv_ok_mask)."""
+    inv, ok = fast_3x3_inv(jac)
+    r = jnp.einsum("mij,mj->mi", inv, rays)
+    r = jnp.where(ok[:, None], r, rays)
+    r = r / jnp.clip(jnp.linalg.norm(r, axis=-1, keepdims=True), 1e-12, None)
+    return r, ok
+
+
+class InverseFlBody:
+    """Undo the per-curve rigid alignment (scale s, translation t) that
+    ``align_fl`` applied in canonical body space:
+    p_body = (p_aligned - t - c)/s + c with c the pre-alignment center.
+    Host-side container keyed by curve name (one-time geometry plumbing).
+    """
+
+    def __init__(self, fl_names, cano_fl_verts_list, rigid_t_list, rigid_scale_list):
+        self.fl_names = list(fl_names)
+        self.center = {}
+        self.verts = {}
+        self.rigid_t = {}
+        self.rigid_scale = {}
+        self.rigid_center = {}
+        for name, v, t, s in zip(self.fl_names, cano_fl_verts_list, rigid_t_list, rigid_scale_list):
+            v = jnp.asarray(v)
+            self.center[name] = v.mean(0, keepdims=True)
+            self.verts[name] = v
+            self.rigid_t[name] = jnp.asarray(t).reshape(1, 3)
+            self.rigid_scale[name] = jnp.asarray(s)
+
+    def set_rigid_center(self, rigid_center_list, fl_names):
+        for c, n in zip(rigid_center_list, fl_names):
+            self.rigid_center[n] = jnp.asarray(c)
+
+    def __call__(self, rigid_cano_fl_verts_list, fl_names):
+        out = []
+        for v, name in zip(rigid_cano_fl_verts_list, fl_names):
+            c = self.center[name]
+            t = self.rigid_t[name]
+            s = self.rigid_scale[name]
+            out.append(((v - t) - c) / s + c)
+        return out

@@ -1,0 +1,55 @@
+"""Functional MLP building blocks: torch-parity initializers + weight norm.
+
+All networks in the framework use explicit parameter pytrees (nested dicts
+of jnp arrays) and pure apply functions, so they jit/vmap/shard cleanly.
+Weight-normalized layers store (v, g, b) with w = g * v / ||v|| (norm over
+input axis), matching torch.nn.utils.weight_norm(dim=0) on a Linear whose
+weight is (out, in) — our v is stored (in, out), so rows↔columns swap.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def torch_linear_init(key, d_in: int, d_out: int):
+    """PyTorch nn.Linear default init (kaiming_uniform a=sqrt(5) for the
+    weight, uniform bias bounded by 1/sqrt(fan_in))."""
+    wkey, bkey = jax.random.split(key)
+    bound_w = math.sqrt(6.0 / ((1 + 5) * d_in))  # gain^2 = 2/(1+a^2) = 1/3
+    W = jax.random.uniform(wkey, (d_in, d_out), jnp.float32, -bound_w, bound_w)
+    bound_b = 1.0 / math.sqrt(d_in)
+    b = jax.random.uniform(bkey, (d_out,), jnp.float32, -bound_b, bound_b)
+    return {"W": W, "b": b}
+
+
+def normal_linear_init(key, d_in: int, d_out: int, mean: float, std: float, bias: float):
+    W = mean + std * jax.random.normal(key, (d_in, d_out), jnp.float32)
+    b = jnp.full((d_out,), bias, jnp.float32)
+    return {"W": W, "b": b}
+
+
+def to_weight_norm(layer: dict) -> dict:
+    """Reparameterize a plain linear layer as weight-norm (v, g, b)."""
+    W = layer["W"]
+    g = jnp.linalg.norm(W, axis=0)  # per-output-unit norm over inputs
+    return {"v": W, "g": g, "b": layer["b"]}
+
+
+def linear_apply(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
+    if "v" in layer:  # weight-normalized
+        v = layer["v"]
+        w = v * (layer["g"] / jnp.clip(jnp.linalg.norm(v, axis=0), 1e-12, None))[None, :]
+        return x @ w + layer["b"]
+    return x @ layer["W"] + layer["b"]
+
+
+def softplus_beta(x: jnp.ndarray, beta: float = 100.0, threshold: float = 20.0) -> jnp.ndarray:
+    """torch Softplus(beta): (1/beta) log(1+exp(beta x)), linear above
+    threshold/beta for numerical stability."""
+    bx = beta * x
+    return jnp.where(bx > threshold, x, jnp.logaddexp(bx, 0.0) / beta)

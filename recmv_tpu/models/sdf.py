@@ -1,0 +1,170 @@
+"""Implicit SDF network (IDR/SelfRecon-style) — TPU-native.
+
+Parity with reference ``model/network.py:27-141`` (``ImplicitNetwork`` +
+``getTmpSdf``): an 8x512 softplus(beta=100) MLP with a skip connection at
+layer 4, geometric sphere initialization (radius = ``bias``), weight
+normalization, and annealed positional encoding (multires 6 → 39-dim
+input). Output = SDF scalar + 256-d rendering feature ("rendcond").
+
+TPU-first: the whole network is a chain of (N,512)x(512,512) matmuls —
+ideal MXU shapes when N is large (dense-grid evaluation batches tens of
+thousands of points). Gradients w.r.t. input points (surface normals,
+eikonal terms) come from jax.grad / jax.jvp instead of the reference's
+retained autograd graphs.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.embedder import Embedder, annealing_weights
+from .mlp import linear_apply, softplus_beta, to_weight_norm
+
+
+def init_sdf_net(
+    key,
+    multires: int = 6,
+    bias: float = 0.6,
+    feature_vector_size: int = 256,
+    dims=(512, 512, 512, 512, 512, 512, 512, 512),
+    skip_in=(4,),
+    d_in: int = 3,
+    d_out: int = 1,
+    weight_norm: bool = True,
+):
+    """Build the parameter pytree with geometric (sphere) initialization.
+
+    Geometric init (reference network.py:66-80, Atzmon & Lipman IGR):
+    - last layer: W ~ N(sqrt(pi)/sqrt(fan_in), 1e-4), b = -bias → the raw
+      network starts as approximately sdf(x) = |x| - bias (a sphere).
+    - first layer: PE channels zeroed, xyz channels N(0, sqrt(2/out)).
+    - skip layer: trailing (input_ch-3) columns zeroed.
+    """
+    emb = Embedder(multires, d_in) if multires > 0 else None
+    input_ch = emb.out_dim if emb is not None else d_in
+    all_dims = [input_ch] + list(dims) + [d_out + feature_vector_size]
+    n_layers = len(all_dims)
+
+    layers = []
+    keys = jax.random.split(key, n_layers - 1)
+    for l in range(n_layers - 1):
+        if l + 1 in skip_in:
+            out_dim = all_dims[l + 1] - all_dims[0]
+        else:
+            out_dim = all_dims[l + 1]
+        in_dim = all_dims[l]
+        if l == n_layers - 2:
+            W = math.sqrt(math.pi) / math.sqrt(in_dim) + 1e-4 * jax.random.normal(
+                keys[l], (in_dim, out_dim), jnp.float32
+            )
+            b = jnp.full((out_dim,), -bias, jnp.float32)
+        elif multires > 0 and l == 0:
+            W = jnp.zeros((in_dim, out_dim), jnp.float32)
+            W = W.at[:3, :].set(
+                math.sqrt(2.0) / math.sqrt(out_dim) * jax.random.normal(keys[l], (3, out_dim))
+            )
+            b = jnp.zeros((out_dim,), jnp.float32)
+        elif multires > 0 and l in skip_in:
+            W = math.sqrt(2.0) / math.sqrt(out_dim) * jax.random.normal(
+                keys[l], (in_dim, out_dim), jnp.float32
+            )
+            W = W.at[-(input_ch - 3):, :].set(0.0)
+            b = jnp.zeros((out_dim,), jnp.float32)
+        else:
+            W = math.sqrt(2.0) / math.sqrt(out_dim) * jax.random.normal(
+                keys[l], (in_dim, out_dim), jnp.float32
+            )
+            b = jnp.zeros((out_dim,), jnp.float32)
+        layer = {"W": W, "b": b}
+        if weight_norm:
+            layer = to_weight_norm(layer)
+        layers.append(layer)
+
+    params = {f"lin{l}": layers[l] for l in range(n_layers - 1)}
+    static = SdfStatic(
+        multires=multires,
+        skip_in=tuple(skip_in),
+        d_out=d_out,
+        n_layers=n_layers,
+        input_ch=input_ch,
+    )
+    return params, static
+
+
+class SdfStatic:
+    """Hashable static config so apply functions can be jit-partialized."""
+
+    def __init__(self, multires, skip_in, d_out, n_layers, input_ch):
+        self.multires = multires
+        self.skip_in = skip_in
+        self.d_out = d_out
+        self.n_layers = n_layers
+        self.input_ch = input_ch
+        self.embedder = Embedder(multires) if multires > 0 else None
+
+    def __hash__(self):
+        return hash((self.multires, self.skip_in, self.d_out, self.n_layers))
+
+    def __eq__(self, other):
+        return isinstance(other, SdfStatic) and (
+            (self.multires, self.skip_in, self.d_out, self.n_layers)
+            == (other.multires, other.skip_in, other.d_out, other.n_layers)
+        )
+
+
+def _embed_with_ratio(emb: Embedder, x, ratio):
+    """Reference ratio semantics (network.py:93-99): None → unweighted;
+    <=0 → zero band weights; else annealed. Works with traced ratios."""
+    if emb is None:
+        return x
+    if ratio is None:
+        return emb(x)
+    ratio = jnp.asarray(ratio, jnp.float32)
+    return emb(x, annealing_weights(emb.multires, jnp.maximum(ratio, 0.0)))
+
+
+def sdf_apply(params: dict, static: SdfStatic, pts: jnp.ndarray, ratio=None):
+    """pts (..., 3) → (sdf (...,), rendcond (..., F)).
+
+    ``ratio`` is the PE annealing ratio (float, traced scalar, or the
+    reference's dict form {'sdfRatio': r}).
+    """
+    if isinstance(ratio, dict):
+        ratio = ratio.get("sdfRatio")
+    x = _embed_with_ratio(static.embedder, pts, ratio)
+    inp = x
+    for l in range(static.n_layers - 1):
+        if l in static.skip_in:
+            x = jnp.concatenate([x, inp], axis=-1) / math.sqrt(2.0)
+        x = linear_apply(params[f"lin{l}"], x)
+        if l < static.n_layers - 2:
+            x = softplus_beta(x, 100.0)
+    sdf = x[..., 0]
+    rendcond = x[..., static.d_out:]
+    return sdf, rendcond
+
+
+def sdf_value(params, static, pts, ratio=None):
+    return sdf_apply(params, static, pts, ratio)[0]
+
+
+def sdf_gradient(params, static, pts, ratio=None):
+    """∇_x sdf(x) for pts (..., 3) — replaces the reference's retain_graph
+    autograd.grad (network.py:121). sdf at point i depends only on point i,
+    so one reverse pass on the summed batched field gives all per-point
+    gradients (cheaper to trace than vmap(grad))."""
+    flat = pts.reshape(-1, 3)
+    grads = jax.grad(lambda p: jnp.sum(sdf_value(params, static, p, ratio)))(flat)
+    return grads.reshape(pts.shape)
+
+
+def sdf_value_and_gradient(params, static, pts, ratio=None):
+    flat = pts.reshape(-1, 3)
+    vals, vjp = jax.vjp(lambda p: sdf_value(params, static, p, ratio), flat)
+    (grads,) = vjp(jnp.ones_like(vals))
+    return vals.reshape(pts.shape[:-1]), grads.reshape(pts.shape)

@@ -1,0 +1,302 @@
+"""Differentiable point & mesh rasterization — TPU-native pytorch3d
+replacement (SURVEY §7 "hard part #1").
+
+Replaces the pytorch3d rasterizers the reference uses everywhere:
+- ``MeshRasterizer`` + fragments (pix_to_face, bary_coords, zbuf) with
+  faces_per_pixel=1, blur 0, perspective_correct=True
+  (``model/network.py:307-322``) — feeds FindSurfacePs
+  (``utils/FindSurfacePs.py:7-60``), z-buffer curve visibility, and the
+  registration visibility scans.
+- ``PointsRasterizer`` (idx, zbuf, dists) with points_per_pixel=50 and
+  NDC radius (``engineer/networks/OptimNetwork.py:87-99``) +
+  ``AlphaCompositor`` — the differentiable garment mask renderer.
+
+TPU-first design: two-level tile binning with **static capacities**.
+Primitives are binned into (tile_y, tile_x) buckets via per-tile top-k
+over a bbox-overlap mask (one tile row at a time to bound memory), then
+each tile tests its ≤cap primitives against its pixels with dense
+VPU-friendly einsum/where math — no atomics, no sorting networks, no
+dynamic shapes. Gradients flow through barycentrics / point distances
+exactly where pytorch3d's CUDA backward provides them.
+
+Conventions: inputs are *screen-space* vertices (x_pix, y_pix, z_cam) as
+produced by ``camera.transform_points_screen`` (with z replaced by camera
+z — see ``screen_with_cam_z``); pixel centers at integer coordinates;
+z_cam > 0 in front of the camera; nearest-first z ordering. Point radius
+and point/pixel distances are measured in pytorch3d NDC units
+(2/min(H, W) per pixel) so reference configs transfer unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MeshFragments(NamedTuple):
+    pix_to_face: jnp.ndarray  # (H, W, K) int32, -1 = empty
+    bary_coords: jnp.ndarray  # (H, W, K, 3) perspective-corrected
+    zbuf: jnp.ndarray         # (H, W, K) camera z, -1 = empty
+
+
+class PointFragments(NamedTuple):
+    idx: jnp.ndarray    # (H, W, K) int32 point index, -1 = empty
+    zbuf: jnp.ndarray   # (H, W, K) camera z, -1 = empty
+    dists: jnp.ndarray  # (H, W, K) squared NDC pixel→point distance, -1 = empty
+
+
+def screen_with_cam_z(cam, pts):
+    """World points → (x_pix, y_pix, z_cam) rasterizer inputs. Mirrors
+    pytorch3d's MeshRasterizer.transform, which swaps view-space z into
+    the projected coordinates."""
+    from ..models.camera import transform_points_screen, world_to_cam
+
+    s = transform_points_screen(cam, pts)
+    zc = world_to_cam(cam, pts)[..., 2]
+    return jnp.concatenate([s[..., :2], zc[..., None]], axis=-1)
+
+
+def _pad_to(x, n, axis=0, value=0):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - x.shape[axis])
+    return jnp.pad(x, pad, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# Point rasterization
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("image_size", "points_per_pixel", "tile", "cap"))
+def rasterize_points(pts: jnp.ndarray, radius: float, image_size,
+                     points_per_pixel: int = 50, tile: int = 32,
+                     cap: int = 1024) -> PointFragments:
+    """pts (P, 3) screen-space points. radius in NDC units.
+
+    Per pixel: the K nearest-by-z points whose NDC distance to the pixel
+    center is within radius. cap bounds points binned per tile; overflow
+    drops the *farthest-binned* extras (matches pytorch3d's bin overflow
+    semantics of dropping primitives, but deterministically).
+    """
+    H, W = image_size
+    K = points_per_pixel
+    P = pts.shape[0]
+    ndc_scale = 2.0 / min(H, W)
+    r_pix = radius / ndc_scale
+
+    Ht = -(-H // tile)
+    Wt = -(-W // tile)
+
+    x = pts[:, 0]
+    y = pts[:, 1]
+    z = pts[:, 2]
+    valid = z > 0
+
+    # tile ranges covered by each point (inclusive)
+    tx0 = jnp.floor((x - r_pix) / tile).astype(jnp.int32)
+    tx1 = jnp.floor((x + r_pix) / tile).astype(jnp.int32)
+    ty0 = jnp.floor((y - r_pix) / tile).astype(jnp.int32)
+    ty1 = jnp.floor((y + r_pix) / tile).astype(jnp.int32)
+
+    px_all = jnp.arange(tile)
+
+    def do_tile_row(ty):
+        # overlap mask for this tile row: (Wt, P)
+        row_hit = valid & (ty0 <= ty) & (ty1 >= ty)
+        tx = jnp.arange(Wt)
+        hit = row_hit[None, :] & (tx0[None, :] <= tx[:, None]) & (tx1[None, :] >= tx[:, None])
+        # bin: cap points per tile, prefer nearest (smallest z)
+        score = jnp.where(hit, -z[None, :], -jnp.inf)  # (Wt, P)
+        _, pidx = jax.lax.top_k(score, min(cap, P))    # (Wt, cap)
+        pvalid = jnp.take_along_axis(hit, pidx, axis=1)
+
+        def do_tile(tx_i, pidx_t, pvalid_t):
+            # pixel centers of this tile
+            py = (ty * tile + px_all).astype(jnp.float32)  # (tile,)
+            px = (tx_i * tile + px_all).astype(jnp.float32)
+            pxg, pyg = jnp.meshgrid(px, py, indexing="xy")  # (tile, tile) [y, x]
+            pyg = py[:, None] + jnp.zeros((1, tile))
+            pxg = px[None, :] + jnp.zeros((tile, 1))
+            cx = x[pidx_t]
+            cy = y[pidx_t]
+            cz = jnp.where(pvalid_t, z[pidx_t], jnp.inf)
+            d2 = (pxg[..., None] - cx) ** 2 + (pyg[..., None] - cy) ** 2  # (t,t,cap)
+            d2_ndc = d2 * (ndc_scale**2)
+            inside = (d2_ndc <= radius * radius) & pvalid_t
+            zsel = jnp.where(inside, cz, jnp.inf)
+            k_eff = min(K, zsel.shape[-1])
+            negz, kidx = jax.lax.top_k(-zsel, k_eff)  # (t,t,k) nearest
+            if k_eff < K:
+                negz = _pad_to(negz, K, axis=-1, value=-jnp.inf)
+                kidx = _pad_to(kidx, K, axis=-1, value=0)
+            got = jnp.isfinite(negz)
+            idx_out = jnp.where(got, jnp.take_along_axis(
+                jnp.broadcast_to(pidx_t, (tile, tile, pidx_t.shape[0])), kidx, axis=2), -1)
+            z_out = jnp.where(got, -negz, -1.0)
+            d_out = jnp.where(got, jnp.take_along_axis(d2_ndc, kidx, axis=2), -1.0)
+            return idx_out, z_out, d_out
+
+        return jax.vmap(do_tile)(jnp.arange(Wt), pidx, pvalid)
+
+    idx, zb, d2 = jax.lax.map(do_tile_row, jnp.arange(Ht))
+    # (Ht, Wt, tile, tile, K) → (H, W, K)
+    def untile(a):
+        a = jnp.moveaxis(a, 2, 1)  # (Ht, tile, Wt, tile, K)
+        a = a.reshape(Ht * tile, Wt * tile, K)
+        return a[:H, :W]
+
+    return PointFragments(untile(idx), untile(zb), untile(d2))
+
+
+def alpha_composite(frag: PointFragments, radius: float, features: jnp.ndarray,
+                    zero_mask=None) -> jnp.ndarray:
+    """pytorch3d AlphaCompositor over PointsRendererWithFrags weights
+    (``model/CameraMine.py:325-345``): w_k = 1 - dists/r², then
+    front-to-back over-compositing C = Σ_k w_k Π_{j<k}(1-w_j) f_k.
+
+    features (P, C); zero_mask (P,) optionally zeroes features per point
+    (the _Split renderer's per-garment masking, CameraMine.py:354-415).
+    Returns (H, W, C).
+    """
+    idx = frag.idx
+    got = idx >= 0
+    w = jnp.where(got, 1.0 - frag.dists / (radius * radius), 0.0)
+    w = jnp.clip(w, 0.0, 1.0)
+    f = features[jnp.maximum(idx, 0)]  # (H, W, K, C)
+    if zero_mask is not None:
+        f = f * jnp.where(zero_mask[jnp.maximum(idx, 0)], 1.0, 0.0)[..., None]
+    trans = jnp.cumprod(1.0 - w + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    return jnp.einsum("hwk,hwkc->hwc", w * trans, f)
+
+
+# ---------------------------------------------------------------------------
+# Mesh rasterization
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("image_size", "faces_per_pixel", "tile", "cap"))
+def rasterize_mesh(verts: jnp.ndarray, faces: jnp.ndarray, image_size,
+                   faces_per_pixel: int = 1, tile: int = 32,
+                   cap: int = 512) -> MeshFragments:
+    """verts (V, 3) screen-space; faces (F, 3) int32.
+
+    Inside test: all barycentrics > 0 (either winding — barycentrics are
+    normalized by signed area, so interior points give all-positive
+    coordinates for both orientations, matching pytorch3d with
+    cull_backfaces=False). Barycentrics are perspective-corrected; zbuf
+    is the perspective-correct interpolated camera z.
+    """
+    H, W = image_size
+    K = faces_per_pixel
+    F = faces.shape[0]
+    Ht = -(-H // tile)
+    Wt = -(-W // tile)
+
+    tri = verts[faces]  # (F, 3, 3)
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    z_ok = (tri[..., 2] > 1e-6).all(-1)
+    # signed double area in pixel space
+    area = (v1[:, 0] - v0[:, 0]) * (v2[:, 1] - v0[:, 1]) - (v1[:, 1] - v0[:, 1]) * (
+        v2[:, 0] - v0[:, 0]
+    )
+    degenerate = jnp.abs(area) < 1e-10
+    fvalid = z_ok & ~degenerate
+
+    fx0 = jnp.min(tri[..., 0], axis=1)
+    fx1 = jnp.max(tri[..., 0], axis=1)
+    fy0 = jnp.min(tri[..., 1], axis=1)
+    fy1 = jnp.max(tri[..., 1], axis=1)
+    tx0 = jnp.floor(fx0 / tile).astype(jnp.int32)
+    tx1 = jnp.floor(fx1 / tile).astype(jnp.int32)
+    ty0 = jnp.floor(fy0 / tile).astype(jnp.int32)
+    ty1 = jnp.floor(fy1 / tile).astype(jnp.int32)
+
+    zmean = tri[..., 2].mean(1)
+    px_all = jnp.arange(tile)
+
+    def do_tile_row(ty):
+        row_hit = fvalid & (ty0 <= ty) & (ty1 >= ty)
+        tx = jnp.arange(Wt)
+        hit = row_hit[None, :] & (tx0[None, :] <= tx[:, None]) & (tx1[None, :] >= tx[:, None])
+        score = jnp.where(hit, -zmean[None, :], -jnp.inf)
+        _, fidx = jax.lax.top_k(score, min(cap, F))
+        fval = jnp.take_along_axis(hit, fidx, axis=1)
+
+        def do_tile(tx_i, fidx_t, fval_t):
+            py = (ty * tile + px_all).astype(jnp.float32)
+            px = (tx_i * tile + px_all).astype(jnp.float32)
+            pyg = py[:, None] + jnp.zeros((1, tile))
+            pxg = px[None, :] + jnp.zeros((tile, 1))
+            a = v0[fidx_t]  # (cap, 3)
+            b = v1[fidx_t]
+            c = v2[fidx_t]
+            ar = area[fidx_t]
+            # edge functions → barycentrics (w0 for vertex a, etc.)
+            def edge(p0, p1):
+                return (
+                    (p1[:, 0] - p0[:, 0]) * (pyg[..., None] - p0[:, 1])
+                    - (p1[:, 1] - p0[:, 1]) * (pxg[..., None] - p0[:, 0])
+                )
+            w0 = edge(b, c) / ar
+            w1 = edge(c, a) / ar
+            w2 = edge(a, b) / ar
+            inside = (w0 > 0) & (w1 > 0) & (w2 > 0) & fval_t
+            # perspective-correct barycentrics and depth
+            iz0 = w0 / a[:, 2]
+            iz1 = w1 / b[:, 2]
+            iz2 = w2 / c[:, 2]
+            s = iz0 + iz1 + iz2
+            zp = 1.0 / jnp.maximum(s, 1e-12)  # interpolated camera z
+            zsel = jnp.where(inside, zp, jnp.inf)
+            k_eff = min(K, zsel.shape[-1])
+            negz, kidx = jax.lax.top_k(-zsel, k_eff)
+            if k_eff < K:
+                negz = _pad_to(negz, K, axis=-1, value=-jnp.inf)
+                kidx = _pad_to(kidx, K, axis=-1, value=0)
+            got = jnp.isfinite(negz)
+            take = lambda q: jnp.take_along_axis(q, kidx, axis=2)
+            f_out = jnp.where(got, jnp.take_along_axis(
+                jnp.broadcast_to(fidx_t, (tile, tile, fidx_t.shape[0])), kidx, axis=2), -1)
+            z_out = jnp.where(got, -negz, -1.0)
+            bcp = jnp.stack([take(iz0 * zp), take(iz1 * zp), take(iz2 * zp)], axis=-1)
+            b_out = jnp.where(got[..., None], bcp, -1.0)
+            return f_out, z_out, b_out
+
+        return jax.vmap(do_tile)(jnp.arange(Wt), fidx, fval)
+
+    fi, zb, bc = jax.lax.map(do_tile_row, jnp.arange(Ht))
+
+    def untile(a, ch=None):
+        a = jnp.moveaxis(a, 2, 1)
+        shape = (Ht * tile, Wt * tile, K) + ((ch,) if ch else ())
+        a = a.reshape(shape)
+        return a[:H, :W]
+
+    return MeshFragments(untile(fi), untile(bc, 3), untile(zb))
+
+
+def silhouette_from_fragments(frag: MeshFragments) -> jnp.ndarray:
+    """Hard silhouette (H, W): pytorch3d SoftSilhouetteShader with
+    blur_radius=0, faces_per_pixel=1 degenerates to coverage."""
+    return (frag.pix_to_face[..., 0] >= 0).astype(jnp.float32)
+
+
+def find_surface_points(frag: MeshFragments, verts_canonical: jnp.ndarray,
+                        faces: jnp.ndarray):
+    """FindSurfacePs (``utils/FindSurfacePs.py:7-60``) on one frame,
+    TPU-style: instead of compacting hit pixels with nonzero(), return the
+    dense per-pixel canonical surface points + a hit mask; callers
+    compact with their own ray-budget top_k.
+
+    Returns (hit (H,W) bool, pts (H,W,3) canonical surface points,
+    face_id (H,W) int32).
+    """
+    hit = (frag.pix_to_face[..., 0] >= 0) & (frag.bary_coords[..., 0, :] > 0).all(-1)
+    fid = jnp.maximum(frag.pix_to_face[..., 0], 0)
+    w = frag.bary_coords[..., 0, :]  # (H, W, 3)
+    tri = verts_canonical[faces[fid]]  # (H, W, 3, 3)
+    pts = jnp.einsum("hwk,hwkc->hwc", jnp.where(hit[..., None], w, 0.0), tri)
+    return hit, pts, jnp.where(hit, frag.pix_to_face[..., 0], -1)

@@ -1,0 +1,182 @@
+"""Coarse-to-fine octree-style SDF evaluation (Seg3dLossless) — TPU-native.
+
+Parity with reference ``MCAcc/seg3d_lossless.py:13-428``: evaluate the
+query function on the coarsest grid, then per level 2x-upsample
+(trilinear, align_corners=True), find sign-boundary voxels, dilate with a
+3x3x3 window, and re-query only those voxels; finally resolve sign
+*conflicts* (re-queried value disagreeing with the interpolated sign) by
+re-querying their dilated neighborhoods, so the result reproduces a dense
+fine-grid evaluation exactly on all sign-relevant voxels ("lossless").
+
+TPU-first redesign (SURVEY §7.4): the reference's dynamic ``nonzero`` +
+shrinking tensors become **dense boolean masks with fixed per-level
+candidate budgets**: candidates are compacted with ``top_k`` over the
+flattened mask (static shapes), evaluated in one batched query (MXU-sized
+batches), and scattered back with drop-mode scatters. Conflict resolution
+runs a fixed number of rounds with the same machinery. Everything jits;
+the level loop is unrolled at trace time (per-level shapes differ).
+
+Resolution pyramids must satisfy res_{k+1} = 2*res_k - 1 per axis (the
+reference asserts odd resolutions for the same reason).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid_sample import max_pool_3d_same, resize_trilinear
+
+
+@dataclass(frozen=True)
+class Seg3dConfig:
+    b_min: tuple               # (3,) world bbox min (x, y, z)
+    b_max: tuple               # (3,)
+    resolutions: tuple         # ((W,H,D), ...) coarse → fine
+    balance_value: float = 0.0
+    budgets: tuple | None = None   # per-level candidate capacity (levels 1..)
+    conflict_rounds: int = 1
+    conflict_budget: int | None = None
+
+    def __post_init__(self):
+        res = tuple(tuple(int(v) for v in r) for r in self.resolutions)
+        object.__setattr__(self, "resolutions", res)
+        for a, b in zip(res[:-1], res[1:]):
+            for x, y in zip(a, b):
+                assert y == 2 * x - 1, f"pyramid must double-refine: {a} -> {b}"
+        if self.budgets is None:
+            budgets = []
+            for W, H, D in res[1:]:
+                # boundary voxels scale with surface area ≈ O(R^2); the
+                # 3x3x3 dilation multiplies by <27 but overlaps heavily.
+                cap = min(W * H * D, 16 * max(W * H, W * D, H * D))
+                budgets.append(int(np.ceil(cap / 1024) * 1024))
+            object.__setattr__(self, "budgets", tuple(budgets))
+        if self.conflict_budget is None:
+            object.__setattr__(self, "conflict_budget", 8192)
+
+
+def _world_coords(cfg: Seg3dConfig, coords_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Integer coords on the *finest* grid → world points, matching the
+    reference's batch_eval normalization (align_corners=False voxel
+    centers, seg3d_lossless.py:96-101)."""
+    res_last = jnp.asarray(cfg.resolutions[-1], jnp.float32)
+    b_min = jnp.asarray(cfg.b_min, jnp.float32)
+    b_max = jnp.asarray(cfg.b_max, jnp.float32)
+    c = coords_xyz.astype(jnp.float32) / res_last + 0.5 / res_last
+    return c * (b_max - b_min) + b_min
+
+
+def final_grid_spacing(cfg: Seg3dConfig):
+    """(spacing_xyz, origin_xyz) of the finest grid — feed to marching
+    cubes (matches reference spacing/b* attributes, seg3d_lossless.py:38-44)."""
+    res = np.asarray(cfg.resolutions[-1], np.float64)
+    b_min = np.asarray(cfg.b_min, np.float64)
+    b_max = np.asarray(cfg.b_max, np.float64)
+    spacing = (b_max - b_min) / res
+    origin = b_min + spacing / 2.0
+    return tuple(spacing), tuple(origin)
+
+
+def _eval_full_grid(query_fn, cfg: Seg3dConfig, res, stride):
+    W, H, D = res
+    z, y, x = jnp.meshgrid(jnp.arange(D), jnp.arange(H), jnp.arange(W), indexing="ij")
+    coords = jnp.stack([x, y, z], -1).reshape(-1, 3) * stride
+    vals = query_fn(_world_coords(cfg, coords))
+    return vals.reshape(D, H, W)
+
+
+def _masked_requery(query_fn, cfg, occ, mask, stride, budget, W, H, D):
+    """Evaluate the query at up to ``budget`` voxels of ``mask`` (level
+    grid (D,H,W)), scatter results into ``occ``. Returns (occ, evaluated
+    dense mask, overflowed_count)."""
+    flat = mask.reshape(-1)
+    n = flat.shape[0]
+    budget = min(budget, n)
+    scores = flat.astype(jnp.float32)
+    _, idx = jax.lax.top_k(scores, budget)          # indices of candidates
+    valid = flat[idx]                               # (budget,) bool
+    zc = idx // (H * W)
+    yc = (idx % (H * W)) // W
+    xc = idx % W
+    coords = jnp.stack([xc, yc, zc], -1) * stride   # finest-grid coords
+    vals = query_fn(_world_coords(cfg, coords))
+    occ_flat = occ.reshape(-1)
+    target = jnp.where(valid, idx, n)
+    occ_flat = jnp.zeros((n + 1,), occ.dtype).at[:n].set(occ_flat).at[target].set(
+        vals, mode="drop"
+    )[:n]
+    evaluated = jnp.zeros((n + 1,), bool).at[target].set(True, mode="drop")[:n]
+    overflow = jnp.maximum(flat.sum() - budget, 0)
+    return occ_flat.reshape(D, H, W), evaluated.reshape(D, H, W), overflow
+
+
+def seg3d_forward(query_fn, cfg: Seg3dConfig):
+    """Run the coarse-to-fine evaluation.
+
+    query_fn: (N, 3) world points → (N,) field values (jit-traceable).
+    Returns the finest-level dense volume (D, H, W) (z, y, x layout).
+    """
+    bal = cfg.balance_value
+    res0 = cfg.resolutions[0]
+    res_last = np.asarray(cfg.resolutions[-1])
+    stride0 = (res_last - 1) // (np.asarray(res0) - 1)
+    occ = _eval_full_grid(query_fn, cfg, res0, jnp.asarray(stride0))
+
+    # dense bookkeeping on the current level grid: which voxels hold
+    # *queried* (vs interpolated) values
+    evaluated = jnp.ones(occ.shape, bool)
+
+    for li, res in enumerate(cfg.resolutions[1:]):
+        W, H, D = res
+        stride = (res_last - 1) // (np.asarray(res) - 1)
+        budget = cfg.budgets[li]
+
+        # 2x trilinear upsample of values and of evaluated-ness; boundary
+        # voxels: interpolated sign indicator fractional (seg3d:271-282)
+        sign = (occ > bal).astype(jnp.float32)
+        valid = resize_trilinear(sign, (D, H, W), align_corners=True)
+        occ = resize_trilinear(occ, (D, H, W), align_corners=True)
+        is_boundary = (valid > 0.0) & (valid < 1.0)
+        is_boundary = max_pool_3d_same(is_boundary, 3)
+
+        # parent voxels land exactly on even indices (align_corners=True
+        # 2x): those keep their queried values — don't requery
+        ev_up = jnp.zeros((D, H, W), bool)
+        ev_up = ev_up.at[::2, ::2, ::2].set(evaluated)
+        candidates = is_boundary & ~ev_up
+
+        occ_interp = occ  # interpolated values before requery
+        occ, newly, _ = _masked_requery(query_fn, cfg, occ, candidates, jnp.asarray(stride),
+                                        budget, W, H, D)
+        evaluated = ev_up | newly
+
+        # conflict resolution (seg3d:348-422): a re-queried voxel whose
+        # sign disagrees with its interpolated value implies the coarse
+        # interpolation missed a crossing — requery the 3x3x3 neighborhood
+        # of conflict voxels (fixed number of rounds, masked evaluation).
+        for _ in range(cfg.conflict_rounds):
+            conflict = newly & ((occ_interp - bal) * (occ - bal) < 0)
+            neigh = max_pool_3d_same(conflict, 3) & ~evaluated
+            occ, newly, _ = _masked_requery(query_fn, cfg, occ, neigh, jnp.asarray(stride),
+                                            cfg.conflict_budget, W, H, D)
+            evaluated = evaluated | newly
+
+    return occ
+
+
+def seg3d_dense(query_fn, cfg: Seg3dConfig, chunk: int = 262144):
+    """Reference dense evaluation of the finest grid (for testing the
+    lossless property and as the brute-force fallback)."""
+    W, H, D = cfg.resolutions[-1]
+    z, y, x = jnp.meshgrid(jnp.arange(D), jnp.arange(H), jnp.arange(W), indexing="ij")
+    coords = jnp.stack([x, y, z], -1).reshape(-1, 3)
+    pts = _world_coords(cfg, coords)
+    n = pts.shape[0]
+    pad = (-n) % chunk
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+    vals = jax.lax.map(query_fn, pts_p.reshape(-1, chunk, 3)).reshape(-1)[:n]
+    return vals.reshape(D, H, W)

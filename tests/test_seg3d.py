@@ -1,0 +1,88 @@
+"""Seg3dLossless: the lossless property — coarse-to-fine evaluation must
+reproduce dense fine-grid evaluation on all sign-relevant voxels, so the
+marching-cubes surface is identical (SURVEY §4: exact-equality property)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from recmv_tpu.ops.marching_cubes import marching_cubes_np
+from recmv_tpu.ops.seg3d import Seg3dConfig, final_grid_spacing, seg3d_dense, seg3d_forward
+
+
+def sphere_query(pts):
+    return jnp.linalg.norm(pts - jnp.asarray([0.05, -0.1, 0.0]), axis=-1) - 0.45
+
+
+def blob_query(pts):
+    # non-convex union of two spheres
+    d1 = jnp.linalg.norm(pts - jnp.asarray([0.25, 0.0, 0.0]), axis=-1) - 0.3
+    d2 = jnp.linalg.norm(pts + jnp.asarray([0.25, 0.0, 0.0]), axis=-1) - 0.35
+    return jnp.minimum(d1, d2)
+
+
+def make_cfg(res0=(9, 9, 9), levels=3):
+    resolutions = [tuple(res0)]
+    for _ in range(levels - 1):
+        resolutions.append(tuple(2 * r - 1 for r in resolutions[-1]))
+    return Seg3dConfig(b_min=(-1, -1, -1), b_max=(1, 1, 1), resolutions=tuple(resolutions))
+
+
+class TestSeg3d:
+    def test_signs_match_dense(self):
+        cfg = make_cfg()
+        for query in (sphere_query, blob_query):
+            oct_vol = np.asarray(seg3d_forward(query, cfg))
+            dense = np.asarray(seg3d_dense(query, cfg))
+            assert oct_vol.shape == dense.shape == (33, 33, 33)
+            # sign pattern identical → identical extracted surface topology
+            np.testing.assert_array_equal(oct_vol > 0, dense > 0)
+
+    def test_values_exact_at_boundary(self):
+        cfg = make_cfg()
+        oct_vol = np.asarray(seg3d_forward(sphere_query, cfg))
+        dense = np.asarray(seg3d_dense(sphere_query, cfg))
+        # voxels adjacent to a sign change must hold exactly-queried values
+        inside = dense < 0
+        bx = inside[:, :, :-1] != inside[:, :, 1:]
+        near = np.zeros_like(inside)
+        near[:, :, :-1] |= bx
+        near[:, :, 1:] |= bx
+        by = inside[:, :-1] != inside[:, 1:]
+        near[:, :-1] |= by
+        near[:, 1:] |= by
+        bz = inside[:-1] != inside[1:]
+        near[:-1] |= bz
+        near[1:] |= bz
+        np.testing.assert_allclose(oct_vol[near], dense[near], atol=1e-6)
+
+    def test_mc_surface_identical(self):
+        cfg = make_cfg()
+        spacing, origin = final_grid_spacing(cfg)
+        v1, f1 = marching_cubes_np(np.asarray(seg3d_forward(blob_query, cfg)), 0.0, origin, spacing)
+        v2, f2 = marching_cubes_np(np.asarray(seg3d_dense(blob_query, cfg)), 0.0, origin, spacing)
+        assert v1.shape == v2.shape and f1.shape == f2.shape
+        np.testing.assert_allclose(v1, v2, atol=1e-6)
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_anisotropic_pyramid(self):
+        cfg = Seg3dConfig(
+            b_min=(-1, -1.2, -0.8), b_max=(1, 1.2, 0.8),
+            resolutions=((5, 7, 5), (9, 13, 9), (17, 25, 17)),
+        )
+        oct_vol = np.asarray(seg3d_forward(sphere_query, cfg))
+        dense = np.asarray(seg3d_dense(sphere_query, cfg))
+        np.testing.assert_array_equal(oct_vol > 0, dense > 0)
+
+    def test_query_count_savings(self):
+        # the evaluator must query far fewer points than dense evaluation
+        calls = []
+
+        def counting_query(pts):
+            calls.append(pts.shape[0])
+            return sphere_query(pts)
+
+        cfg = make_cfg(levels=4)  # final 65^3 = 274625
+        seg3d_forward(counting_query, cfg)
+        total = sum(calls)
+        dense_n = 65**3
+        assert total < dense_n * 0.6, (total, dense_n)

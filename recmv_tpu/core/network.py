@@ -1,0 +1,1227 @@
+"""The per-scene garment optimization network — TPU-native core.
+
+Parity with reference ``engineer/networks/OptimGarmentNetwork.py`` (the
+REC-MV "model"): joint optimization of per-garment SDFs + body SDF,
+explicit feature curves, the non-rigid deformation field, per-frame
+latents, SMPL poses/translation and camera — against 2D curve
+projections, garment silhouettes, IDR surface rendering, and temporal
+priors; with periodic marching-cubes remeshing.
+
+TPU-first structure (SURVEY §7): the reference's three interleaved
+.backward()/step() calls become three *gradient computations* on pure
+functions, combined exactly as the reference's grad accumulation does
+(train.py:319-329 zero_grads once per step, so curve- and mask-branch
+gradients on shared parameters fold into the global Adam step):
+
+  step = ① curve branch: L_fl = 10·sdf(curve)+proj → AdamW on curve
+           params, global grads kept;
+         ② mask branch: point-render IoU + consistency → SGD on the
+           marching-cube vertices, global grads kept;
+         ③ main: pc-sdf + curve-aware + IDR render (with the implicit
+           surface adjoint attached) + DCT prior → global grads;
+         ④ one optax update from ①+②+③ on the model pytree.
+
+Topology events (marching-cube remesh every remesh_intersect steps,
+hierarchy promotions) happen on host between jitted eras with
+fixed-capacity padded buffers (degenerate padding faces are raster-
+and loss-inert).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.constants import CURVE_AWARE, FL_EXTRACT, ZBUF_THRESHOLD
+from ..data.dataset import SceneDataset
+from ..models import camera as cam_mod
+from ..models.curves import CurveStatics, curves_forward, curves_regularization
+from ..models.garment_model import (
+    ModelStatics,
+    make_deform_fn,
+    scene_camera,
+    split_deform_conds,
+)
+from ..models.sdf import sdf_apply, sdf_value, sdf_value_and_gradient
+from ..models.skinner import bbox_size, posed_skeleton, skinner_apply
+from ..models.translator import translator_apply
+from ..ops.grid_sample import grid_sample_2d
+from ..ops.marching_cubes import marching_cubes
+from ..ops.math3d import dct_null_space
+from ..ops.rasterizer import (
+    alpha_composite,
+    rasterize_mesh,
+    rasterize_points,
+    screen_with_cam_z,
+)
+from ..ops.seg3d import Seg3dConfig, final_grid_spacing, seg3d_forward
+from . import losses as L
+from .surface_ps import make_implicit_surface_adjoint, optimize_surface_points, ray_constraint
+
+
+@dataclass
+class MeshState:
+    """Per-remesh-era explicit meshes (padded to static capacity)."""
+
+    body_vs: jnp.ndarray
+    body_fs: jnp.ndarray
+    body_n: int
+    garment_vs: list            # per garment (cap, 3)
+    garment_fs: list            # per garment (capF, 3)
+    garment_n: list             # vert counts
+    garment_fn: list            # face counts
+    garment_edges: list         # unique edges per garment (for reg losses)
+
+
+@dataclass
+class TrainConfig:
+    """Static per-phase knobs resolved from HOCON."""
+
+    sample_pix: int = 2048
+    point_radius: float = 0.006
+    remesh_intersect: int = 30
+    batch_size: int = 3
+    image_size: tuple = (1080, 1080)
+    mc_capacity_v: int = 1 << 18
+    mc_capacity_f: int = 1 << 19
+    raster_tile: int = 32
+    raster_cap_mesh: int = 512
+    raster_cap_points: int = 768
+    points_per_pixel: int = 24
+    solver_times: int = 20
+    surface_sample: int = 4096
+
+
+class GarmentOptimNetwork:
+    """Host orchestrator around jitted pure functions."""
+
+    def __init__(self, conf, dataset: SceneDataset, params: dict,
+                 statics: ModelStatics, curve_statics: CurveStatics | None,
+                 body_vs, body_fs, seg3d_cfg: Seg3dConfig,
+                 train_cfg: TrainConfig | None = None, sdf_shrink: float = 0.0):
+        self.conf = conf                 # active loss_<phase> config block
+        self.full_conf = conf
+        self.dataset = dataset
+        self.params = params
+        self.statics = statics
+        self.curve_statics = curve_statics
+        self.tmp_body_vs = jnp.asarray(body_vs)
+        self.tmp_body_fs = jnp.asarray(np.asarray(body_fs), jnp.int32)
+        self.seg3d_cfg = seg3d_cfg
+        self.cfg = train_cfg or TrainConfig()
+        self.sdf_shrink = float(sdf_shrink)
+        self.mesh: MeshState | None = None
+        self.opt_times = 0.0
+        self.remesh_time = 0.0
+        self.isfine = False
+        self.info = {}
+        self.ang_thred = None
+        self.dct_null = jnp.asarray(dct_null_space(10, 30))
+
+        # optimizers
+        lr = conf.get_float("train.learning_rate", 1e-4) if "train" in conf else 1e-4
+        self.global_opt = optax.adam(lr)
+        self.global_opt_state = None
+        self.curve_opt = optax.adamw(1e-4)
+        self.curve_opt_state = None
+        self.vert_opt = optax.sgd(0.05, momentum=0.9)
+        self.vert_opt_state = None
+        self._lr_scale = 1.0
+
+        self._init_global_opt()
+
+    # ------------------------------------------------------------------
+    # parameter plumbing
+    # ------------------------------------------------------------------
+
+    def _global_params(self):
+        """The pytree updated by the global optimizer: model nets + scene."""
+        return {
+            "sdf": self.params["sdf"],
+            "garment_sdfs": self.params["garment_sdfs"],
+            "translator": self.params["translator"],
+            "render": self.params["render"],
+            "scene": self.scene_tree(),
+        }
+
+    def scene_tree(self):
+        p = self.dataset.params
+        return {
+            "poses": jnp.asarray(p.poses), "trans": jnp.asarray(p.trans),
+            "shape": jnp.asarray(p.shape),
+            "conds": {k: jnp.asarray(v) for k, v in p.conds.items()},
+            "camera": {k: jnp.asarray(v) for k, v in p.camera.items()},
+        }
+
+    def _write_back(self, g):
+        self.params["sdf"] = g["sdf"]
+        self.params["garment_sdfs"] = g["garment_sdfs"]
+        self.params["translator"] = g["translator"]
+        self.params["render"] = g["render"]
+        sp = self.dataset.params
+        sp.poses = np.asarray(g["scene"]["poses"])
+        sp.trans = np.asarray(g["scene"]["trans"])
+        sp.shape = np.asarray(g["scene"]["shape"])
+        sp.conds = {k: np.asarray(v) for k, v in g["scene"]["conds"].items()}
+        sp.camera = {k: np.asarray(v) for k, v in g["scene"]["camera"].items()}
+
+    def _init_global_opt(self):
+        from ..data.dataset import trainable_mask
+
+        g = self._global_params()
+        mask = {
+            "sdf": True, "garment_sdfs": True, "translator": True, "render": True,
+            "scene": trainable_mask(self.full_conf, self.dataset.frame_num),
+        }
+
+        def expand(m, tree):
+            if isinstance(m, bool):
+                return jax.tree_util.tree_map(lambda _: m, tree)
+            return {k: expand(m[k], tree[k]) for k in tree}
+
+        self._trainable = expand(mask, g)
+        self.global_opt_state = self.global_opt.init(g)
+        if self.params.get("curves"):
+            self.curve_opt_state = self.curve_opt.init(self.params["curves"])
+
+    def _apply_trainable_mask(self, grads):
+        return jax.tree_util.tree_map(
+            lambda g, t: g if t else jnp.zeros_like(g), grads, self._trainable
+        )
+
+    # ------------------------------------------------------------------
+    # marching-cube remesh (topology event)
+    # ------------------------------------------------------------------
+
+    def discretize_sdf(self, ratio, balance_value: float = 0.0, seg3d_cfg=None):
+        """Seg3dLossless over each SDF → fixed-capacity meshes
+        (discretizeSDF, OptimGarmentNetwork.py:581-618)."""
+        cfg = seg3d_cfg or self.seg3d_cfg
+        spacing, origin = final_grid_spacing(cfg)
+        out = []
+        nets = [("body", None)] + [(n, i) for i, n in enumerate(self.statics.garment_names)]
+        for name, gi in nets:
+            if gi is None:
+                q = lambda pts: sdf_value(self.params["sdf"], self.statics.sdf, pts, ratio)
+            else:
+                q = (lambda gidx: lambda pts: sdf_value(
+                    self.params["garment_sdfs"][gidx], self.statics.garment_sdf, pts, ratio
+                ))(gi)
+            vol = seg3d_forward(q, cfg)
+            v, f, nv, nf = marching_cubes(
+                vol, balance_value, origin, spacing,
+                max_verts=self.cfg.mc_capacity_v, max_faces=self.cfg.mc_capacity_f,
+            )
+            out.append((v, f, int(nv), int(nf)))
+        return out
+
+    def marching_cube_update(self, ratio):
+        """Extract fresh explicit meshes and reset their optimizers
+        (marching_cube_update, OptimGarmentNetwork.py:678-741).
+
+        Buffers are trimmed to a *hysteresis capacity* (next power of two
+        above 1.5x the live count) so downstream jitted work scales with
+        the real mesh, not the MC extraction ceiling; shapes stay stable
+        across remeshes unless the mesh grows past the slack."""
+        from ..geometry.mesh_utils import compute_edges_unique
+
+        meshes = self.discretize_sdf(ratio, -self.sdf_shrink)
+        body = meshes[0]
+        garments = meshes[1:]
+        assert body[2] > 0, "tmp sdf vanished"
+
+        def cap_of(n):
+            c = 1 << int(np.ceil(np.log2(max(n, 1) * 1.5 + 1)))
+            return max(c, 2048)
+
+        def trim(v, f, nv, nf):
+            cv = min(cap_of(nv), v.shape[0])
+            cf = min(cap_of(nf), f.shape[0])
+            return v[:cv], jnp.asarray(f[:cf], jnp.int32)
+
+        b_v, b_f = trim(*body)
+        g_trim = [trim(*g) for g in garments]
+        self.mesh = MeshState(
+            body_vs=b_v, body_fs=b_f, body_n=body[2],
+            garment_vs=[t[0] for t in g_trim],
+            garment_fs=[t[1] for t in g_trim],
+            garment_n=[g[2] for g in garments],
+            garment_fn=[g[3] for g in garments],
+            garment_edges=[
+                jnp.asarray(compute_edges_unique(np.asarray(g[1][: g[3]])), jnp.int32)
+                for g in garments
+            ],
+        )
+        self.remesh_time = 1.0 + np.floor(self.remesh_time)
+        self.vert_opt_state = self.vert_opt.init(tuple(self.mesh.garment_vs))
+        if self.params.get("curves"):
+            self.curve_opt_state = self.curve_opt.init(self.params["curves"])
+        self.info["remesh"] = self.remesh_time
+
+    # ------------------------------------------------------------------
+    # shared sub-steps
+    # ------------------------------------------------------------------
+
+    def _ratio_dict(self, ratio):
+        if isinstance(ratio, dict):
+            return ratio
+        return {"sdfRatio": 1.0, "deformerRatio": ratio, "renderRatio": 1.0}
+
+    def _camera(self, scene):
+        return scene_camera(scene, self.statics.image_size)
+
+    def _deform_garment_verts(self, gparams, scene, garment_vs_list, frame_ids, ratio):
+        """Per garment: (N, cap, 3) posed vertices."""
+        r = self._ratio_dict(ratio)
+        conds = split_deform_conds(scene["conds"]["deformer"][frame_ids], self.statics.garment_size)
+        poses = scene["poses"][frame_ids]
+        trans = scene["trans"][frame_ids]
+        out = []
+        for gi, vs in enumerate(garment_vs_list):
+            model_params = {"translator": gparams["translator"], "skinner": self.params["skinner"]}
+            deform = make_deform_fn(model_params, self.statics, conds[gi + 1], poses,
+                                    trans, r["deformerRatio"])
+            N = frame_ids.shape[0]
+            out.append(deform(jnp.broadcast_to(vs, (N,) + vs.shape)))
+        return out
+
+    # (The loss branches live in core/train_step.py as pure jitted
+    # functions; this class wires them together per step.)
+
+    # ------------------------------------------------------------------
+    # ① curve (feature-line) branch
+    # ------------------------------------------------------------------
+
+    def _body_zbuf_image(self, gparams, scene, frame_ids, cam):
+        """LBS-posed SMPL body z-buffer per frame with background filled by
+        the max body depth (fl_visible_by_body_zbuff,
+        OptimGarmentNetwork.py:1444-1460)."""
+        N = frame_ids.shape[0]
+        poses = scene["poses"][frame_ids]
+        trans = scene["trans"][frame_ids]
+        body = jnp.broadcast_to(self.tmp_body_vs, (N,) + self.tmp_body_vs.shape)
+        posed = skinner_apply(self.params["skinner"], body, poses, trans)
+        W, H = self.statics.image_size
+
+        def per_frame(pv):
+            scr = screen_with_cam_z(cam, pv)
+            frag = rasterize_mesh(scr, self.tmp_body_fs, (H, W),
+                                  tile=self.cfg.raster_tile, cap=self.cfg.raster_cap_mesh)
+            return frag.zbuf[..., 0]
+
+        zb = jax.lax.map(per_frame, jax.lax.stop_gradient(posed))  # (N, H, W)
+        zmax = jnp.max(posed[..., 2], axis=1)
+        zb = jnp.where(zb <= 0, zmax[:, None, None], zb)
+        # visibility is a gate, not a gradient path (reference computes it
+        # under no_grad, OptimGarmentNetwork.py:1374-1468)
+        return jax.lax.stop_gradient(zb), posed
+
+    def _sample_zbuf(self, zbuf, screen_pts):
+        """Bilinear z-buffer lookup at screen points (align_corners=True
+        normalized uv, matching the reference's grid_sample call)."""
+        W, H = self.statics.image_size
+        u = 2.0 * screen_pts[..., 0] / W - 1.0
+        v = 2.0 * screen_pts[..., 1] / H - 1.0
+        uv = jnp.stack([u, v], -1)
+
+        def per_frame(zb, uvf):
+            return grid_sample_2d(zb[None], uvf, align_corners=True)[:, 0]
+
+        return jax.vmap(per_frame)(zbuf, uv)  # (N, P)
+
+    def fl_branch_loss(self, gparams, curve_params, frame_ids, fl_pts, fl_masks, ratio):
+        """project_2d_loss (OptimGarmentNetwork.py:1772-1884): z-buffer
+        gated, area-weighted 2D chamfer + curve regularizers + garment-SDF
+        anchoring of the canonical curves. Returns (10·sdf + 1·proj, info)."""
+        scene = gparams["scene"]
+        cam = self._camera(scene)
+        N = frame_ids.shape[0]
+        r = self._ratio_dict(ratio)
+        cs = self.curve_statics
+        curves = curves_forward(curve_params, cs)  # (C, S, 3)
+        conds = split_deform_conds(scene["conds"]["deformer"][frame_ids],
+                                   self.statics.garment_size)
+        poses = scene["poses"][frame_ids]
+        trans = scene["trans"][frame_ids]
+        zbuf, _ = self._body_zbuf_image(gparams, scene, frame_ids, cam)
+        cam_z = cam_mod.cam_pos(cam)[2]
+
+        name_to_idx = {n: i for i, n in enumerate(cs.fl_names)}
+        # dataset gt columns may be a superset of the parameterized curves
+        ds_col = {n: i for i, n in enumerate(self.dataset.fl_names)}
+        info = {}
+        proj_loss = 0.0
+        fl_sdf_loss = 0.0
+        S = curves.shape[1]
+
+        for gi, gname in enumerate(self.statics.garment_names):
+            fl_names = [n for n in FL_EXTRACT[gname] if n in name_to_idx]
+            model_params = {"translator": gparams["translator"],
+                            "skinner": self.params["skinner"]}
+            deform = make_deform_fn(model_params, self.statics, conds[gi + 1],
+                                    poses, trans, r["deformerRatio"])
+            g_proj = 0.0
+            for cname in fl_names:
+                ci = name_to_idx[cname]
+                cv = curves[ci]  # (S, 3)
+                def_fl = deform(jnp.broadcast_to(cv, (N, S, 3)))  # (N,S,3)
+                scr = cam_mod.transform_points_screen(cam, def_fl)
+                # body z-buffer visibility: smpl-space curve (LBS only)
+                smpl_cv = cs.cano_smpl_verts[ci]
+                def_smpl = skinner_apply(self.params["skinner"],
+                                         jnp.broadcast_to(smpl_cv, (N, S, 3)),
+                                         poses, trans)
+                scr_smpl = cam_mod.transform_points_screen(cam, def_smpl)
+                surf_z = self._sample_zbuf(zbuf, scr_smpl)
+                z = def_smpl[..., 2]
+                visible = (z - surf_z) < ZBUF_THRESHOLD[cname]  # (N, S)
+                col = ds_col[cname]
+                frame_mask = fl_masks[:, col]  # (N,)
+                pred_valid = visible & frame_mask[:, None]
+                gt = fl_pts[:, col]  # (N, G, 2)
+                w_curve = float(self.dataset.fl_weights.get(cname, 1.0))
+
+                def frame_cham(scr_f, pv_f, gt_f):
+                    d2 = jnp.sum((scr_f[:, None, :2] - gt_f[None, :, :]) ** 2, -1)
+                    big = 1e12
+                    min_pg = jnp.min(jnp.where(pv_f[:, None], d2, big), axis=0)  # gt→pred
+                    min_gp = jnp.min(d2, axis=1)  # pred→gt (gt always full)
+                    any_v = jnp.any(pv_f)
+                    s = jnp.sum(jnp.where(pv_f, min_gp, 0.0)) + jnp.where(any_v, jnp.sum(min_pg), 0.0)
+                    return jnp.where(any_v, s, 0.0)
+
+                chams = jax.vmap(frame_cham)(scr, pred_valid, gt)  # (N,)
+                valid_frames = jnp.sum((jnp.sum(pred_valid, -1) > 0).astype(jnp.float32))
+                batch_loss = w_curve * jnp.sum(chams) / jnp.clip(valid_frames, 1.0, None)
+                n_vis = jnp.sum(pred_valid.astype(jnp.float32))
+                g_proj = g_proj + batch_loss / jnp.clip(n_vis, 1.0, None)
+            n_fl = max(len(fl_names), 1)
+            fl_w = float(self.conf.get_float("fl_weight.weight", 1.0))
+            g_proj = g_proj / n_fl * fl_w
+            info[f"{gname}_project_loss"] = g_proj
+            proj_loss = proj_loss + g_proj
+
+            # canonical curve anchored to the garment SDF
+            cano_fl = jnp.concatenate([curves[name_to_idx[n]] for n in fl_names], 0)
+            sdfv = sdf_value(gparams["garment_sdfs"][gi], self.statics.garment_sdf,
+                             cano_fl, r["sdfRatio"])
+            s_loss = jnp.mean(jnp.abs(sdfv + self.sdf_shrink))
+            info[f"fl_pc_{gname}_loss_sdf"] = s_loss
+            fl_sdf_loss = fl_sdf_loss + s_loss * float(
+                self.conf.get_float("fl_weight.sdf_weight", 60.0))
+
+        reg = curves_regularization(curve_params, cs, fl_masks)
+        center_w = float(self.conf.get_float("alpha_weight.center_weight", 1.0))
+        diff_w = float(self.conf.get_float("alpha_weight.diff_weight", 1.0))
+        proj_loss = proj_loss + reg["center_offset"] * center_w + reg["diff_a_loss"] * diff_w
+        info["fl_center_loss"] = reg["center_offset"] * center_w
+        info["fl_diff_loss"] = reg["diff_a_loss"] * diff_w
+        return 10.0 * fl_sdf_loss + 1.0 * proj_loss, info
+
+    # ------------------------------------------------------------------
+    # ② mask (point-cloud) branch
+    # ------------------------------------------------------------------
+
+    def pc_branch_loss(self, garment_vs_tuple, gparams, frame_ids, gt_garment_masks,
+                       ratio):
+        """mask_loss (OptimGarmentNetwork.py:841-981): joint point-cloud
+        rendering of all garments with per-garment feature split (handles
+        inter-garment occlusion), IoU vs max-pooled gt masks + deformation
+        consistency. Differentiated wrt the MC vertices (and, through
+        rendering/deformation, the global params)."""
+        scene = gparams["scene"]
+        cam = self._camera(scene)
+        N = frame_ids.shape[0]
+        r = self._ratio_dict(ratio)
+        W, H = self.statics.image_size
+        radius = self.cfg.point_radius
+        radius_px = L.point_render_radius_px(radius, H, W)
+
+        def_vs = self._deform_garment_verts(
+            {"translator": gparams["translator"]}, scene, list(garment_vs_tuple),
+            frame_ids, ratio)
+        all_def = jnp.concatenate(def_vs, axis=1)  # (N, ΣcapV, 3)
+        counts = self.mesh.garment_n
+        caps = [v.shape[0] for v in garment_vs_tuple]
+        valid_sections = []
+        off = 0
+        for cap, n in zip(caps, counts):
+            idx = jnp.arange(cap)
+            valid_sections.append(idx < n)
+            off += cap
+        valid_all = jnp.concatenate(valid_sections)
+
+        conds = split_deform_conds(scene["conds"]["deformer"][frame_ids],
+                                   self.statics.garment_size)
+        poses = scene["poses"][frame_ids]
+        trans = scene["trans"][frame_ids]
+
+        total = 0.0
+        info = {}
+        mgt_list = [L.max_pool_mask(m, radius_px) for m in gt_garment_masks]
+
+        def render_frame(pts_f):
+            scr = screen_with_cam_z(cam, pts_f)
+            # hide padding points behind the camera
+            scr = jnp.where(valid_all[:, None], scr, jnp.asarray([0.0, 0.0, -1.0]))
+            frag = rasterize_points(scr, radius, (H, W),
+                                    points_per_pixel=self.cfg.points_per_pixel,
+                                    tile=self.cfg.raster_tile,
+                                    cap=self.cfg.raster_cap_points)
+            imgs = []
+            for sec in range(len(caps)):
+                zero_mask = jnp.concatenate([
+                    jnp.full((caps[s],), s == sec) for s in range(len(caps))
+                ])
+                imgs.append(alpha_composite(frag, radius, jnp.ones((all_def.shape[1], 1)),
+                                            zero_mask=zero_mask)[..., 0])
+            return jnp.stack(imgs)  # (G, H, W)
+
+        masks = jax.lax.map(render_frame, all_def)  # (N, G, H, W)
+
+        for gi, gname in enumerate(self.statics.garment_names):
+            m_loss = L.iou_mask_loss(masks[:, gi], mgt_list[gi])
+            info[f"{gname}_mask_loss"] = m_loss
+            total = total + m_loss * float(self.conf.get_float("pc_weight.mask_weight", 1.0))
+            cw = float(self.conf.get_float("pc_weight.def_consistent.weight", -1.0))
+            if cw > 0:
+                lbs_only = skinner_apply(
+                    self.params["skinner"],
+                    jnp.broadcast_to(garment_vs_tuple[gi], (N,) + garment_vs_tuple[gi].shape),
+                    poses, trans)
+                c = float(self.conf.get_float("pc_weight.def_consistent.c", 0.01))
+                off2 = jnp.sum((def_vs[gi] - lbs_only) ** 2, -1)
+                vmask = valid_sections[gi][None, :]
+                from ..ops.math3d import gm_robust_error
+                if c > 0:
+                    cons = L.masked_mean(gm_robust_error(off2, c, True), vmask)
+                else:
+                    cons = L.masked_mean(jnp.sqrt(off2 + 1e-12), vmask)
+                info[f"{gname}_defconst_loss"] = cons
+                total = total + cons * cw
+        return total, (info, masks)
+
+    # ------------------------------------------------------------------
+    # ray machinery: find surface seeds → sample ray budget → solve
+    # ------------------------------------------------------------------
+
+    def find_and_sample_rays(self, gparams, frame_ids, gt_garment_masks, ratio, key):
+        """find_surface_ps + sample_train_ray (OptimGarmentNetwork.py:742,
+        983): rasterize the deformed MC garment meshes, take first-hit
+        canonical surface seeds per pixel, keep pixels inside the gt
+        garment mask, and compact to a fixed per-garment ray budget with
+        random top-k (replacing the reference's rand-subsample of
+        dynamic-size index lists).
+
+        Returns per garment dicts of (budget,)-shaped arrays:
+        batch_inds, rows, cols, init_pts, rays, valid.
+        """
+        scene = gparams["scene"]
+        cam = self._camera(scene)
+        N = frame_ids.shape[0]
+        W, H = self.statics.image_size
+        budget = max(self.cfg.sample_pix // self.statics.garment_size, 1) * N
+
+        def_vs = self._deform_garment_verts(
+            {"translator": gparams["translator"]}, scene,
+            self.mesh.garment_vs, frame_ids, ratio)
+
+        out = []
+        for gi in range(self.statics.garment_size):
+            fs = self.mesh.garment_fs[gi]
+            cano = self.mesh.garment_vs[gi]
+
+            def per_frame(pv):
+                scr = screen_with_cam_z(cam, pv)
+                frag = rasterize_mesh(scr, fs, (H, W), tile=self.cfg.raster_tile,
+                                      cap=self.cfg.raster_cap_mesh)
+                hit = (frag.pix_to_face[..., 0] >= 0) & (frag.bary_coords[..., 0, :] > 0).all(-1)
+                fid = jnp.maximum(frag.pix_to_face[..., 0], 0)
+                wts = frag.bary_coords[..., 0, :]
+                tri = cano[fs[fid]]
+                pts = jnp.einsum("hwk,hwkc->hwc", jnp.where(hit[..., None], wts, 0.0), tri)
+                return hit, pts
+
+            hits, pts = jax.lax.map(per_frame, jax.lax.stop_gradient(def_vs[gi]))
+            eligible = hits & (gt_garment_masks[gi] > 0)  # (N, H, W)
+            flat = eligible.reshape(-1)
+            key, sub = jax.random.split(key)
+            scores = jnp.where(flat, jax.random.uniform(sub, flat.shape), -1.0)
+            _, idx = jax.lax.top_k(scores, min(budget, flat.shape[0]))
+            valid = flat[idx]
+            b = idx // (H * W)
+            rr = (idx % (H * W)) // W
+            cc = idx % W
+            init_pts = pts.reshape(-1, 3)[idx]
+            pix = jnp.stack([cc.astype(jnp.float32), rr.astype(jnp.float32),
+                             jnp.ones_like(cc, jnp.float32)], -1)
+            rays = cam_mod.view_rays(cam, pix)
+            out.append(dict(batch_inds=b, rows=rr, cols=cc, init_pts=init_pts,
+                            rays=rays, valid=valid))
+        return out, key
+
+    def solve_surface_points(self, gparams, ray_data, frame_ids, ratio):
+        """opt_garment_surface_ps (OptimGarmentNetwork.py:1057): refine the
+        seeds to exact surface/ray intersections per garment."""
+        scene = gparams["scene"]
+        cam = self._camera(scene)
+        r = self._ratio_dict(ratio)
+        conds = split_deform_conds(scene["conds"]["deformer"][frame_ids],
+                                   self.statics.garment_size)
+        poses = scene["poses"][frame_ids]
+        trans = scene["trans"][frame_ids]
+        origin = jax.lax.stop_gradient(cam_mod.cam_pos(cam))
+        if self.ang_thred is None:
+            self.ang_thred = cam_mod.ang_threshold(self._camera(self.scene_tree()))
+        results = []
+        for gi, rd in enumerate(ray_data):
+            model_params = {"translator": gparams["translator"],
+                            "skinner": self.params["skinner"]}
+            deform = make_deform_fn(model_params, self.statics, conds[gi + 1],
+                                    poses, trans, r["deformerRatio"],
+                                    batch_inds=rd["batch_inds"])
+            sdf_fn = lambda p, gi=gi: sdf_value(
+                gparams["garment_sdfs"][gi], self.statics.garment_sdf, p, r["sdfRatio"])
+            pts, conv = optimize_surface_points(
+                sdf_fn, deform, origin, jax.lax.stop_gradient(rd["rays"]),
+                jax.lax.stop_gradient(rd["init_pts"]), rd["valid"],
+                dthreshold=5e-5, athreshold_deg=self.ang_thred,
+                times=self.cfg.solver_times,
+            )
+            results.append(dict(pts=pts, conv=conv, **rd))
+            self.info[f"{self.statics.garment_names[gi]}_rayInfo"] = (
+                int(rd["valid"].shape[0]), int(jnp.sum(conv)))
+        return results
+
+    # ------------------------------------------------------------------
+    # ③ main loss (IDR render + pc-sdf + curve-aware + DCT)
+    # ------------------------------------------------------------------
+
+    def main_loss(self, gparams, solved, frame_ids, batch, garment_vs_updated, ratio, key):
+        scene = gparams["scene"]
+        cam = self._camera(scene)
+        N = frame_ids.shape[0]
+        r = self._ratio_dict(ratio)
+        conds = split_deform_conds(scene["conds"]["deformer"][frame_ids],
+                                   self.statics.garment_size)
+        rendcond = scene["conds"]["render"][frame_ids]
+        poses = scene["poses"][frame_ids]
+        trans = scene["trans"][frame_ids]
+        gtCs = batch["img"]
+        info = {}
+        total = 0.0
+
+        # pc-sdf: anchor updated explicit verts to the implicit surfaces
+        pc_w = float(self.conf.get_float("pc_weight.weight", 60.0))
+        for gi, gname in enumerate(self.statics.garment_names):
+            vs = garment_vs_updated[gi]
+            valid = jnp.arange(vs.shape[0]) < self.mesh.garment_n[gi]
+            sdfv = sdf_value(gparams["garment_sdfs"][gi], self.statics.garment_sdf,
+                             jax.lax.stop_gradient(vs), r["sdfRatio"])
+            s_loss = L.sdf_shrink_loss(sdfv, self.sdf_shrink, valid)
+            info[f"pc_{gname}_loss_sdf"] = s_loss
+            total = total + s_loss * pc_w
+
+        # curve-aware hemline disc loss (OptimGarmentNetwork.py:787-839)
+        ca_w = float(self.conf.get_float("pc_weight.curve_aware_weight", 0.0))
+        target_curve = None
+        if "upper_bottom" in self.curve_statics.fl_names:
+            target_curve = "upper_bottom"
+        elif self.dataset.garment_type in CURVE_AWARE and self.isfine:
+            target_curve = CURVE_AWARE[self.dataset.garment_type]
+        if ca_w > 0 and target_curve is not None:
+            ci = list(self.curve_statics.fl_names).index(target_curve)
+            cv = curves_forward(self.params["curves"], self.curve_statics)[ci]
+            center = cv.mean(0, keepdims=True)
+            Sn = cv.shape[0]
+            key, sub = jax.random.split(key)
+            # sample the fan disc: random triangle (i, i+1, center) + bary
+            tri_i = jax.random.randint(sub, (50000,), 0, Sn)
+            key, sub = jax.random.split(key)
+            uv = jax.random.uniform(sub, (50000, 2))
+            u = jnp.where(uv[:, 0] + uv[:, 1] > 1, 1 - uv[:, 0], uv[:, 0])
+            v = jnp.where(uv[:, 0] + uv[:, 1] > 1, 1 - uv[:, 1], uv[:, 1])
+            a = cv[tri_i]
+            b = cv[(tri_i + 1) % Sn]
+            pts = a * u[:, None] + b * v[:, None] + center * (1 - u - v)[:, None]
+            sdfv = sdf_value(gparams["garment_sdfs"][-1], self.statics.garment_sdf,
+                             jax.lax.stop_gradient(pts), r["sdfRatio"])
+            ca_loss = jnp.mean(jnp.abs(sdfv + self.sdf_shrink))
+            info["curve_aware_loss"] = ca_loss
+            total = total + ca_loss * ca_w
+
+        # IDR surface rendering per garment
+        for gi, gname in enumerate(self.statics.garment_names):
+            sd = solved[gi]
+            gsdf = gparams["garment_sdfs"][gi]
+            d_cond = conds[gi + 1]
+            model_params = {"translator": gparams["translator"],
+                            "skinner": self.params["skinner"]}
+            deform = make_deform_fn(model_params, self.statics, d_cond, poses,
+                                    trans, r["deformerRatio"],
+                                    batch_inds=sd["batch_inds"])
+
+            # eikonal on local+global samples around surface pts + verts
+            key, sub = jax.random.split(key)
+            vs = self.mesh.garment_vs[gi]
+            nv = self.mesh.garment_n[gi]
+            key, s2 = jax.random.split(key)
+            vsel = jax.random.randint(s2, (self.cfg.surface_sample,), 0, max(nv, 1))
+            base = jnp.concatenate([sd["pts"], jax.lax.stop_gradient(vs[vsel])], 0)
+            key, s3 = jax.random.split(key)
+            local = base + 0.01 * jax.random.normal(s3, base.shape)
+            key, s4 = jax.random.split(key)
+            glob = jax.random.uniform(s4, (base.shape[0] // 6, 3), minval=-1.8, maxval=1.8)
+            nonmnfld = jnp.concatenate([local, glob], 0)
+            _, grads = sdf_value_and_gradient(gsdf, self.statics.garment_sdf,
+                                              nonmnfld, r["sdfRatio"])
+            g_loss = L.eikonal_loss(grads)
+            info[f"{gname}_grad_loss"] = g_loss
+            total = total + g_loss * float(self.conf.get_float("grad_weight", 1.0))
+
+            # deformation rigidity on the offset field
+            dr_w = float(self.conf.get_float("def_regu.weight", 0.0))
+            if dr_w > 0:
+                key, s5 = jax.random.split(key)
+                reg_base = jnp.concatenate([base, base + 0.01 * jax.random.normal(s5, base.shape)], 0)
+
+                def off_map(p):
+                    B = N
+                    pb = jnp.broadcast_to(p, (B,) + p.shape)
+                    cond_b = jnp.broadcast_to(d_cond[:, None, :], (B, p.shape[0], d_cond.shape[-1]))
+                    out, _ = translator_apply(gparams["translator"], self.statics.translator,
+                                              pb, cond_b, r["deformerRatio"])
+                    return out
+
+                # Jacobian of the canonical offset field per point, frame 0
+                def off_single(p):
+                    cond_b = d_cond[0]
+                    out, _ = translator_apply(gparams["translator"], self.statics.translator,
+                                              p[None], cond_b[None], r["deformerRatio"])
+                    return out[0]
+
+                Jo = jax.vmap(jax.jacfwd(off_single))(reg_base)
+                d_loss = L.def_regularization_loss(Jo, float(self.conf.get_float("def_regu.c", 0.5)))
+                info[f"def_{gname}_loss"] = d_loss
+                total = total + d_loss * dr_w
+
+            # color + normal on converged rays, with the implicit adjoint
+            conv = sd["conv"]
+            aux_params = {
+                "gsdf": gsdf, "translator": gparams["translator"],
+                "scene_poses": poses, "scene_trans": trans, "d_cond": d_cond,
+                "camera": scene["camera"],
+            }
+            rays = sd["rays"]
+            b_inds = sd["batch_inds"]
+
+            def sdf_fn_adj(prm, pts):
+                return sdf_value(prm["gsdf"], self.statics.garment_sdf, pts, r["sdfRatio"])
+
+            def constraint_fn_adj(prm, pts):
+                mp = {"translator": prm["translator"], "skinner": self.params["skinner"]}
+                dfn = make_deform_fn(mp, self.statics, prm["d_cond"], prm["scene_poses"],
+                                     prm["scene_trans"], r["deformerRatio"],
+                                     batch_inds=b_inds)
+                camera = scene_camera({"camera": prm["camera"]}, self.statics.image_size)
+                origin = cam_mod.cam_pos(camera)
+                return ray_constraint(dfn(pts), origin, rays)
+
+            attach = make_implicit_surface_adjoint(sdf_fn_adj, constraint_fn_adj)
+            TmpPs = attach(aux_params, sd["pts"])
+
+            sdfs, feat = sdf_apply(gsdf, self.statics.garment_sdf, TmpPs, r["sdfRatio"])
+            nx = jax.grad(lambda p: jnp.sum(sdf_value(gsdf, self.statics.garment_sdf,
+                                                      p, r["sdfRatio"])))(TmpPs)
+            nx = nx / jnp.clip(jnp.linalg.norm(nx, axis=-1, keepdims=True), 1e-9, None)
+
+            from ..models.deformer import cardinal_rays_from_jac, deformer_jacobian
+
+            jac = deformer_jacobian(deform, TmpPs)
+            crays, _ = cardinal_rays_from_jac(jac, rays)
+            defVs = deform(TmpPs)
+
+            cw = float(self.conf.get_float("color_weight", 0.0))
+            if cw > 0:
+                from ..models.render_net import render_net_apply
+
+                # feature = the SDF's 256-d rendcond (the reference's
+                # compute_netRender_color ignores the per-frame rendcond
+                # argument, utils/utils.py:252-264 — kept for parity)
+                colors = render_net_apply(gparams["render"], self.statics.render,
+                                          TmpPs, nx, crays, feat,
+                                          ratio=r["renderRatio"])
+                gt_rgb = gtCs[b_inds, sd["rows"], sd["cols"]]
+                c_loss = L.color_loss(colors, gt_rgb, b_inds, conv, N)
+                info[f"{gname}_color_loss"] = c_loss
+                total = total + cw * c_loss
+
+            nw = float(self.conf.get_float("normal_weight", 0.0))
+            if nw > 0 and "normal" in batch:
+                gtn = batch["normal"][b_inds, sd["rows"], sd["cols"]]
+                from ..models.deformer import deformed_normals_from_grads
+
+                cnx, _ = deformed_normals_from_grads(jax.lax.stop_gradient(jac),
+                                                     jax.lax.stop_gradient(nx))
+                n_loss = L.normal_pullback_loss(
+                    gtn, jac, nx, rays, cam.R, b_inds, conv, N,
+                    weighted=bool(self.conf.get_bool("weighted_normal", True)),
+                    deformed_normals=cnx,
+                )
+                info[f"{gname}_normal_loss"] = n_loss
+                total = total + nw * n_loss
+
+        # DCT temporal prior over posed joints
+        dct_w = float(self.conf.get_float("dct_weight", 0.0))
+        if dct_w > 0 and self.dataset.frame_num > self.dct_null.shape[1]:
+            Nlen = self.dct_null.shape[1]
+            win_ids = self._window_ids(np.asarray(frame_ids), Nlen)  # (N, Nlen)
+            wp = scene["poses"][win_ids.reshape(-1)]
+            wt = scene["trans"][win_ids.reshape(-1)]
+            js = posed_skeleton(self.params["skinner"], wp) + wt[:, None, :]
+            d_loss = L.dct_pose_loss(self.dct_null, js.reshape(N, Nlen, 24, 3))
+            info["dct_loss"] = d_loss
+            total = total + d_loss * dct_w
+
+        return total, info
+
+    def _window_ids(self, fids, Nlen):
+        """Global frame indices of the DCT windows (sliding, clamped to
+        video segment bounds — matches dataset.get_batchframe_data)."""
+        idx_helper = np.arange(self.dataset.frame_num) + self.dataset.start_idx
+        self.dataset._frame_index_helper = idx_helper
+        win, _ = self.dataset.get_batchframe_data("_frame_index_helper", fids, Nlen)
+        return win
+
+    # ------------------------------------------------------------------
+    # the full optimization step (reference forward + train.py loop body)
+    # ------------------------------------------------------------------
+
+    def garment_masks_from_batch(self, batch):
+        """gt garment masks per garment from parsing groups
+        (forward, OptimGarmentNetwork.py:1888-1904): upper-type garments
+        read 'upper', pants/skirts read 'bottom'; single-garment subjects
+        with is_upper_bottom use the joint mask."""
+        from ..config.constants import PANTS_GARMENT
+
+        out = []
+        for gname in self.statics.garment_names:
+            if self.statics.garment_size == 1 and bool(
+                self.full_conf.get_bool("train.is_upper_bottom", False)
+            ):
+                key = "upper_bottom"
+            elif gname in ("long_pants", "short_pants", "skirt"):
+                key = "bottom"
+            else:
+                key = "upper"
+            out.append(jnp.asarray(batch[key]))
+        return out
+
+    def train_step(self, batch, frame_ids, ratio, key):
+        """One optimization step. batch: numpy dict from
+        dataset.get_batch; frame_ids (N,) local ids; ratio dict.
+        Returns (total_loss, info). Phase wall-times land in info['t_*'].
+        """
+        import time as _time
+
+        frame_ids = jnp.asarray(np.asarray(frame_ids), jnp.int32)
+        self.info = {}
+        r = self._ratio_dict(ratio)
+
+        _t0 = _time.time()
+        if self.mesh is None or (self.opt_times % self.cfg.remesh_intersect == 0):
+            self.marching_cube_update(r)
+        self.info["t_remesh"] = _time.time() - _t0
+
+        _t0 = _time.time()
+        gparams = self._global_params()
+        gt_garment_masks = self.garment_masks_from_batch(batch)
+        fl_pts = jnp.asarray(batch["fl_pts"])   # (N, C, S, 2)
+        fl_masks = jnp.asarray(batch["fl_masks"])  # (N, C)
+
+        # ① curve branch
+        def fl_fn(gp, cp):
+            return self.fl_branch_loss(gp, cp, frame_ids, fl_pts, fl_masks, r)
+
+        (fl_loss, fl_info), (g_fl_global, g_fl_curve) = jax.value_and_grad(
+            fl_fn, argnums=(0, 1), has_aux=True)(gparams, self.params["curves"])
+        up, self.curve_opt_state = self.curve_opt.update(
+            g_fl_curve, self.curve_opt_state, self.params["curves"])
+        self.params["curves"] = optax.apply_updates(self.params["curves"], up)
+        self.info.update({k: float(v) for k, v in fl_info.items()})
+        self.info["fl_loss_total"] = float(fl_loss)
+        self.info["t_fl"] = _time.time() - _t0; _t0 = _time.time()
+
+        # ② mask branch
+        gvs = tuple(self.mesh.garment_vs)
+
+        def pc_fn(vs_tuple, gp):
+            loss, (info, masks) = self.pc_branch_loss(vs_tuple, gp, frame_ids,
+                                                      gt_garment_masks, r)
+            return loss, info
+
+        (pc_loss, pc_info), (g_verts, g_pc_global) = jax.value_and_grad(
+            pc_fn, argnums=(0, 1), has_aux=True)(gvs, gparams)
+        # mask padded vertex grads
+        g_verts = tuple(
+            jnp.where((jnp.arange(v.shape[0]) < n)[:, None], g, 0.0)
+            for g, v, n in zip(g_verts, gvs, self.mesh.garment_n)
+        )
+        vup, self.vert_opt_state = self.vert_opt.update(g_verts, self.vert_opt_state, gvs)
+        self.mesh.garment_vs = list(optax.apply_updates(gvs, vup))
+        self.info.update({k: float(v) for k, v in pc_info.items()})
+        self.info["pc_loss_total"] = float(pc_loss)
+        self.info["t_pc"] = _time.time() - _t0; _t0 = _time.time()
+
+        # rays + surface solve (no grad)
+        key = jax.random.PRNGKey(int(self.opt_times)) if key is None else key
+        ray_data, key = self.find_and_sample_rays(gparams, frame_ids,
+                                                  gt_garment_masks, r, key)
+        solved = self.solve_surface_points(gparams, ray_data, frame_ids, r)
+        self.info["t_rays"] = _time.time() - _t0; _t0 = _time.time()
+
+        # ③ main loss (+ implicit adjoint inside)
+        def main_fn(gp):
+            return self.main_loss(gp, solved, frame_ids, batch,
+                                  self.mesh.garment_vs, r, key)
+
+        (m_loss, m_info), g_main = jax.value_and_grad(main_fn, has_aux=True)(gparams)
+        self.info.update({k: float(v) for k, v in m_info.items()})
+        self.info["t_main"] = _time.time() - _t0; _t0 = _time.time()
+
+        # ④ combine and update globals (grad accumulation parity)
+        grads = jax.tree_util.tree_map(lambda a, b, c: a + b + c,
+                                       g_fl_global, g_pc_global, g_main)
+        grads = self._apply_trainable_mask(grads)
+        grads = jax.tree_util.tree_map(lambda g: g * self._lr_scale, grads)
+        gup, self.global_opt_state = self.global_opt.update(
+            grads, self.global_opt_state, gparams)
+        gparams = optax.apply_updates(gparams, gup)
+        self._write_back(gparams)
+        self.info["t_update"] = _time.time() - _t0
+
+        self.opt_times += 1.0
+        total = float(m_loss)
+        return total, self.info
+
+    def set_lr_scale(self, scale: float):
+        """MultiStepLR-equivalent: scale applied to gradients feeding the
+        fixed-lr Adam (lr·factor schedule, reference train.py scheduler)."""
+        self._lr_scale = float(scale)
+
+    # ------------------------------------------------------------------
+    # one-time initializations (reference initializeTmpSDF path)
+    # ------------------------------------------------------------------
+
+    def igr_fit_sdf(self, which, verts, normals, nepochs: int = 1200,
+                    batch_size: int = 5000, lr: float = 5e-3, seed: int = 0):
+        """IGR fit of one SDF to a surface point set (initializeSDF,
+        OptimGarmentNetwork.py:387-443): |sdf| + 0.1·eikonal + normal
+        term; Adam with StepLR(500, 0.5). `which` = 'sdf' or ('garment', i).
+        Jitted epoch loop with scan over shuffled minibatches."""
+        if which == "sdf":
+            params = self.params["sdf"]
+            static = self.statics.sdf
+        else:
+            params = self.params["garment_sdfs"][which[1]]
+            static = self.statics.garment_sdf
+        verts = jnp.asarray(verts, jnp.float32)
+        normals = jnp.asarray(normals, jnp.float32) if normals is not None else None
+        V = verts.shape[0]
+        bs = min(batch_size, V)
+        nb = max(V // bs, 1)
+
+        sched = optax.exponential_decay(lr, 500, 0.5, staircase=True)
+        opt = optax.adam(sched)
+        opt_state = opt.init(params)
+
+        def loss_fn(p, pts, nrm, key):
+            vals, grads_s = sdf_value_and_gradient(p, static, pts, -1.0)
+            k1, k2 = jax.random.split(key)
+            local = pts + 0.01 * jax.random.normal(k1, pts.shape)
+            glob = jax.random.uniform(k2, (pts.shape[0] // 6, 3), minval=-1.8, maxval=1.8)
+            off = jnp.concatenate([local, glob], 0)
+            _, grads_o = sdf_value_and_gradient(p, static, off, -1.0)
+            loss, aux = L.igr_init_loss(vals, grads_s, grads_o, nrm)
+            return loss, aux
+
+        @jax.jit
+        def epoch(params, opt_state, key):
+            key, ks = jax.random.split(key)
+            perm = jax.random.permutation(ks, V)
+            evs = verts[perm[: nb * bs]].reshape(nb, bs, 3)
+            ens = (normals[perm[: nb * bs]].reshape(nb, bs, 3)
+                   if normals is not None else jnp.zeros((nb, bs, 3)))
+
+            def body(carry, inp):
+                p, s, k = carry
+                pts, nrm = inp
+                k, ku = jax.random.split(k)
+                (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    p, pts, nrm if normals is not None else None, ku)
+                u, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, u), s, k), l
+
+            (params, opt_state, key), ls = jax.lax.scan(
+                body, (params, opt_state, key), (evs, ens))
+            return params, opt_state, key, ls[-1]
+
+        key = jax.random.PRNGKey(seed)
+        last = None
+        for ep in range(nepochs):
+            params, opt_state, key, last = epoch(params, opt_state, key)
+        if which == "sdf":
+            self.params["sdf"] = params
+        else:
+            gs = list(self.params["garment_sdfs"])
+            gs[which[1]] = params
+            self.params["garment_sdfs"] = tuple(gs)
+        return float(last) if last is not None else None
+
+    # ------------------------------------------------------------------
+    # curve initialization (scale_rigid_optimizer) + align_fl
+    # ------------------------------------------------------------------
+
+    def initialize_fl(self, fl_template_curves: dict, n_iters: int = 150,
+                      lr: float = 5e-3, cache_path: str | None = None):
+        """Per-curve rigid translation then scale fit against gt 2D curves
+        (scale_rigid_optimizer, engineer/core/fl_optimizer.py:111-520):
+        stage 1 optimizes per-curve translation T, stage 2 per-curve scale
+        s (around the curve center, R fixed to identity as the reference's
+        ortho6d stays at its init), with body-z-buffer visibility gating.
+        fl_template_curves: curve name → (S, 3) canonical template curve.
+        Returns {name: (T (3,), s ()), ...} and the aligned curves.
+        """
+        from ..config.constants import INI_FL_SCALE
+
+        fl_names = [n for n in self.dataset.fl_names if n in fl_template_curves]
+        curves0 = jnp.asarray(np.stack([fl_template_curves[n] for n in fl_names]))
+        centers = curves0.mean(1, keepdims=True)
+        C, S, _ = curves0.shape
+
+        if cache_path and os.path.isfile(cache_path):
+            data = np.load(cache_path)
+            T = jnp.asarray(data["T"])
+            s = jnp.asarray(data["s"])
+            aligned = (curves0 - centers) * s[:, None, None] + centers + T[:, None, :]
+            return dict(zip(fl_names, zip(np.asarray(T), np.asarray(s)))), \
+                {n: np.asarray(a) for n, a in zip(fl_names, aligned)}, fl_names
+
+        # supervised frames only
+        sup = [i for i, x in enumerate(self.dataset.fl_supervised) if x]
+        sup = sup[:: max(len(sup) // 16, 1)][:16] or [0]
+        batch = self.dataset.get_batch([i - self.dataset.start_idx for i in sup])
+        fl_pts = jnp.asarray(batch["fl_pts"])
+        fl_masks = jnp.asarray(batch["fl_masks"])
+        fids = jnp.asarray([i - self.dataset.start_idx for i in sup], jnp.int32)
+        scene = self.scene_tree()
+        cam = self._camera(scene)
+        poses = scene["poses"][fids]
+        trans = scene["trans"][fids]
+        N = fids.shape[0]
+        zbuf, _ = self._body_zbuf_image(self._global_params(), scene, fids, cam)
+        name_to_col = {n: i for i, n in enumerate(self.dataset.fl_names)}
+
+        def proj_loss(T, s):
+            aligned = (curves0 - centers) * s[:, None, None] + centers + T[:, None, :]
+            flat = aligned.reshape(1, -1, 3)
+            posed = skinner_apply(self.params["skinner"],
+                                  jnp.broadcast_to(flat, (N, C * S, 3)), poses, trans)
+            scr = cam_mod.transform_points_screen(cam, posed)
+            surf_z = self._sample_zbuf(zbuf, scr)
+            vis = (posed[..., 2] - surf_z) < 0.05
+            loss = 0.0
+            for ci, name in enumerate(fl_names):
+                col = name_to_col[name]
+                sc = scr[:, ci * S : (ci + 1) * S, :2]
+                v = vis[:, ci * S : (ci + 1) * S] & fl_masks[:, col][:, None]
+                gt = fl_pts[:, col]
+                d2 = jnp.sum((sc[:, :, None, :] - gt[:, None, :, :]) ** 2, -1)
+                big = 1e12
+                m_pg = jnp.min(jnp.where(v[:, :, None], d2, big), axis=1)
+                m_gp = jnp.min(d2, axis=2)
+                anyv = jnp.any(v, axis=1)
+                cham = (L.masked_mean(m_gp, v, axis=1)
+                        + jnp.where(anyv, jnp.mean(m_pg, axis=1), 0.0))
+                loss = loss + jnp.sum(jnp.where(anyv, cham, 0.0)) / jnp.clip(
+                    jnp.sum(anyv), 1.0, None)
+            return loss
+
+        T = jnp.zeros((C, 3))
+        s = jnp.asarray([INI_FL_SCALE.get(n, 1.5) for n in fl_names], jnp.float32)
+        optT = optax.adam(lr)
+        stT = optT.init(T)
+
+        @jax.jit
+        def stepT(T, st, s):
+            g = jax.grad(proj_loss, argnums=0)(T, s)
+            u, st = optT.update(g, st, T)
+            return optax.apply_updates(T, u), st
+
+        for _ in range(n_iters):
+            T, stT = stepT(T, stT, s)
+
+        optS = optax.adam(lr)
+        stS = optS.init(s)
+
+        @jax.jit
+        def stepS(s, st, T):
+            g = jax.grad(proj_loss, argnums=1)(T, s)
+            u, st = optS.update(g, st, s)
+            return optax.apply_updates(s, u), st
+
+        for _ in range(n_iters):
+            s, stS = stepS(s, stS, T)
+
+        if cache_path:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            np.savez(cache_path, T=np.asarray(T), s=np.asarray(s))
+        aligned = (curves0 - centers) * s[:, None, None] + centers + T[:, None, :]
+        return dict(zip(fl_names, zip(np.asarray(T), np.asarray(s)))), \
+            {n: np.asarray(a) for n, a in zip(fl_names, aligned)}, fl_names
+
+    def align_fl(self, aligned_curves: dict, template_curves: dict, rigid: dict):
+        """Build the Intersect_Free_Curve parameterization from the
+        aligned curves + the inverse map to canonical SMPL space
+        (align_fl, OptimGarmentNetwork.py:3485-3548)."""
+        from ..models.curves import init_curves
+        from ..models.deformer import InverseFlBody
+
+        fl_names = [n for n in self.dataset.fl_names if n in aligned_curves]
+        inv = InverseFlBody(
+            fl_names,
+            [template_curves[n] for n in fl_names],
+            [np.asarray(rigid[n][0]) for n in fl_names],
+            [np.asarray(rigid[n][1]) for n in fl_names],
+        )
+        cano_smpl = inv([jnp.asarray(aligned_curves[n]) for n in fl_names], fl_names)
+        params, statics = init_curves(
+            [aligned_curves[n] for n in fl_names],
+            [np.asarray(c) for c in cano_smpl], fl_names)
+        self.params["curves"] = params
+        self.curve_statics = statics
+        self.curve_opt_state = self.curve_opt.init(params)
+        self.inverse_fl_body = inv
+        return params, statics
+
+    def initialize_tmp_sdf(self, nepochs: int = 1200, save_dir: str | None = None,
+                           with_normals: bool = True, template_dir: str | None = None,
+                           body_normals=None, fl_iters: int = 150):
+        """Full one-time scene initialization (initializeTmpSDF,
+        OptimGarmentNetwork.py:490-578): build garment templates from the
+        A-pose body, extract template feature lines, rigid+scale-fit them
+        to the 2D annotations, Laplacian-register the template patches to
+        the aligned curves, close the holes, and IGR-fit body + garment
+        SDFs. Returns the curve parameterization."""
+        from ..geometry.laplacian import laplacian_deform
+        from ..models.garment import garment_templates_from_body
+        from ..models.smpl import smpl_skeleton
+
+        joints = np.asarray(self.params["skinner"].Js)
+        templates = garment_templates_from_body(
+            self.statics.garment_names, np.asarray(self.tmp_body_vs),
+            np.asarray(self.tmp_body_fs), joints, template_dir)
+        templates = [t.dense_boundary(2) for t in templates]
+
+        # template feature lines (merged across garments; first wins)
+        template_curves = {}
+        for t in templates:
+            for name, curve in t.extract_featurelines().items():
+                template_curves.setdefault(name, curve)
+
+        cache = os.path.join(save_dir, "fl_init", "init_trans_matrix.npz") if save_dir else None
+        rigid, aligned_curves, fl_names = self.initialize_fl(
+            template_curves, n_iters=fl_iters, cache_path=cache)
+
+        # Laplacian-register each template's boundary loops onto the
+        # aligned curves (align_init_temp → Laplacian_Optimizer)
+        registered = []
+        for t in templates:
+            cids = []
+            targets = []
+            for cname, loop in t.boundary_labels.items():
+                if cname not in aligned_curves:
+                    continue
+                tgt = aligned_curves[cname]
+                lv = t.verts[loop]
+                # match loop verts to nearest target curve point
+                d = np.linalg.norm(lv[:, None, :] - tgt[None], axis=-1)
+                cids.append(loop)
+                targets.append(tgt[d.argmin(1)])
+            if cids:
+                new_v = np.asarray(laplacian_deform(
+                    t.verts, t.faces, np.concatenate(cids),
+                    np.concatenate(targets), constrain_weight=1.0, smooth=True))
+                t.verts = new_v
+            registered.append(t)
+        self.garment_templates = registered
+
+        # curves parameterization
+        self.align_fl(aligned_curves, template_curves, rigid)
+
+        # IGR fits
+        if body_normals is None:
+            from ..geometry.mesh_utils import vertex_normals
+
+            body_normals = vertex_normals(np.asarray(self.tmp_body_vs),
+                                          np.asarray(self.tmp_body_fs))
+        self.igr_fit_sdf("sdf", self.tmp_body_vs,
+                         body_normals if with_normals else None, nepochs)
+        for gi, t in enumerate(registered):
+            cv, cf, cn = t.close_hole()
+            self.igr_fit_sdf(("garment", gi), cv, cn if with_normals else None, nepochs)
+        if save_dir:
+            self.save_checkpoint(os.path.join(save_dir, "initial_sdf.ckpt"), epoch=0)
+
+    # ------------------------------------------------------------------
+    # checkpointing (save_model/load_model parity, utils/utils.py:350-420)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str, epoch: int):
+        import pickle
+
+        state = {
+            "epoch": epoch,
+            "params": jax.tree_util.tree_map(np.asarray, {
+                k: v for k, v in self.params.items() if k != "skinner"
+            }),
+            "skinner": jax.tree_util.tree_map(np.asarray, self.params["skinner"]),
+            "scene": jax.tree_util.tree_map(np.asarray, self.scene_tree()),
+            "opt_times": self.opt_times,
+        }
+        if self.curve_statics is not None:
+            state["curve_statics"] = jax.tree_util.tree_map(
+                np.asarray, jax.tree_util.tree_flatten(self.curve_statics)[0])
+            state["curve_fl_names"] = tuple(self.curve_statics.fl_names)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load_checkpoint(self, path: str):
+        import pickle
+
+        from ..models.curves import CurveStatics
+        from ..models.skinner import SkinnerParams
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        for k, v in state["params"].items():
+            self.params[k] = jax.tree_util.tree_map(jnp.asarray, v)
+        self.params["skinner"] = jax.tree_util.tree_map(jnp.asarray, state["skinner"])
+        sc = state["scene"]
+        sp = self.dataset.params
+        sp.poses, sp.trans, sp.shape = sc["poses"], sc["trans"], sc["shape"]
+        sp.conds = dict(sc["conds"])
+        sp.camera = dict(sc["camera"])
+        if "curve_statics" in state:
+            leaves = [jnp.asarray(x) for x in state["curve_statics"]]
+            self.curve_statics = CurveStatics(*leaves, fl_names=state["curve_fl_names"])
+        self.opt_times = state.get("opt_times", 0.0)
+        self._init_global_opt()
+        return state["epoch"]

@@ -1,0 +1,176 @@
+"""Surface-point root finding and implicit differentiation — TPU-native.
+
+Replaces two reference mechanisms:
+
+1. ``OptimizeGarmentSurfacePs`` (``utils/FindSurfacePs.py:145-353``): an
+   iterative per-ray projected-gradient refinement of canonical surface
+   points p minimizing  w1·|sdf(p)| + w2·sin∠(ray, D(p)−cam), with
+   per-point Newton-ish steps t = −loss/|∇loss|² and convergence when
+   |sdf| < dthreshold and the angle < the camera's sub-pixel bound.
+   The reference shrinks tensors each iteration (dynamic shapes); here a
+   fixed ``times``-step ``lax.fori_loop`` carries a per-point *unfinished
+   mask* instead — identical math, static shapes (SURVEY §7.3).
+
+2. ``propagateTmpPsGrad`` (``OptimGarmentNetwork.py:2159-2313``): because
+   p* comes from a non-differentiable solver, ∂L/∂p* must be converted to
+   parameter gradients through the implicit constraints
+   F(p; θ) = [sdf(p; θ_sdf); ray × (D(p; φ) − cam)] = 0. With
+   B = ∂F/∂p (4×3), the least-squares adjoint is
+   dL/dθ = −(g·(BᵀB)⁻¹Bᵀ)·∂F/∂θ. The reference assembles this by hand
+   with FastMinv and manual vjps; here it is one ``jax.custom_vjp`` whose
+   backward runs the same projection — so a single ``loss.backward()``
+   equivalent (jax.grad of the whole step) needs no second pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.math3d import fast_3x3_inv, pmm
+
+
+def _skew(v):
+    """(...,3) → (...,3,3) cross-product matrix [v]×."""
+    zero = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zero, -v[..., 2], v[..., 1]], -1),
+            jnp.stack([v[..., 2], zero, -v[..., 0]], -1),
+            jnp.stack([-v[..., 1], v[..., 0], zero], -1),
+        ],
+        -2,
+    )
+
+
+def _per_point_grad(loss_fn, pts):
+    """∇_p of a per-point scalar loss (points independent → one vjp)."""
+    vals, vjp = jax.vjp(loss_fn, pts)
+    (g,) = vjp(jnp.ones_like(vals))
+    return vals, g
+
+
+def optimize_surface_points(
+    sdf_fn,
+    deform_fn,
+    cam_origin,
+    rays,
+    init_pts,
+    valid,
+    dthreshold: float = 5e-5,
+    athreshold_deg: float = 0.02,
+    w1: float = 3.05,
+    w2: float = 1.0,
+    times: int = 20,
+):
+    """Refine canonical surface points along fixed rays.
+
+    sdf_fn: (M,3) → (M,); deform_fn: (M,3) → (M,3) — both already closed
+    over parameters and per-point frame conditioning.
+    cam_origin (3,), rays (M,3) world unit rays, init_pts (M,3) canonical
+    seeds from the rasterizer, valid (M,) mask of live rays.
+
+    Returns (pts, converged): converged ⊆ valid.
+    """
+
+    def angle_deg(direct, r):
+        up = jnp.cross(direct, r)
+        s = jnp.linalg.norm(up, axis=-1) / jnp.clip(
+            jnp.linalg.norm(direct, axis=-1), 1e-12, None
+        )
+        return jnp.arcsin(jnp.clip(s, 0.0, 1.0)) * 180.0 / jnp.pi
+
+    def converged(pts):
+        c1 = jnp.abs(sdf_fn(pts)) < dthreshold
+        c2 = angle_deg(deform_fn(pts) - cam_origin, rays) < athreshold_deg
+        return c1 & c2
+
+    def loss_fn(pts):
+        l1 = jnp.abs(sdf_fn(pts))
+        direct = deform_fn(pts) - cam_origin
+        up = jnp.cross(direct, rays)
+        l2 = jnp.abs(
+            jnp.linalg.norm(up, axis=-1)
+            / jnp.clip(jnp.linalg.norm(direct, axis=-1), 1e-12, None)
+        )
+        return w1 * l1 + w2 * l2
+
+    def body(_, carry):
+        pts, unfinished = carry
+        losses, grads = _per_point_grad(loss_fn, pts)
+        gg = jnp.sum(grads * grads, -1)
+        t = -losses / jnp.clip(gg, 1e-20, None)
+        new_pts = pts + t[:, None] * grads
+        new_pts = jnp.where(unfinished[:, None], new_pts, pts)
+        unfinished = unfinished & ~converged(new_pts)
+        return new_pts, unfinished
+
+    unfinished0 = valid & ~converged(init_pts)
+    pts, unfinished = jax.lax.fori_loop(0, times, body, (init_pts, unfinished0))
+    return jax.lax.stop_gradient(pts), valid & ~unfinished
+
+
+def make_implicit_surface_adjoint(sdf_fn, constraint_fn):
+    """Build the implicit-gradient attachment.
+
+    sdf_fn(params, pts) → (M,) — the garment/body SDF.
+    constraint_fn(params, pts) → (M, 3) — ray × (D(p) − cam), closed over
+    per-point rays/frames but a *function of params* (so camera and
+    deformer/latent parameters receive gradients, matching the reference's
+    accumulation into θ_sdf, φ_deformer, latents and camera v/c).
+
+    Returns attach(params, pts) → pts, where the VJP reroutes ∂L/∂p into
+    ∂L/∂params via −g·(BᵀB)⁻¹Bᵀ·∂F/∂θ and gives pts itself zero gradient.
+    """
+
+    @jax.custom_vjp
+    def attach(params, pts):
+        return pts
+
+    def fwd(params, pts):
+        return pts, (params, pts)
+
+    def bwd(res, g):
+        params, pts = res
+
+        # B rows: ∇_p sdf (M,1,3) and ∂(ray×(D−cam))/∂p (M,3,3)
+        def sdf_sum(p):
+            return jnp.sum(sdf_fn(params, p))
+
+        grad_f_p = jax.grad(sdf_sum)(pts)  # (M,3)
+
+        # constraint_fn is pointwise over M: Jacobian via 3 jvps on the batch
+        def con(p):
+            return constraint_fn(params, p)
+
+        basis = jnp.eye(3)
+        cols = [jax.jvp(con, (pts,), (jnp.broadcast_to(basis[i], pts.shape),))[1]
+                for i in range(3)]
+        Jc = jnp.stack(cols, axis=-1)  # (M,3,3) ∂c/∂p
+
+        B = jnp.concatenate([grad_f_p[:, None, :], Jc], axis=1)  # (M,4,3)
+        BtB = pmm(jnp.swapaxes(B, -1, -2), B)  # (M,3,3)
+        BtB_inv, ok = fast_3x3_inv(BtB)
+        # rhs = g (BᵀB)⁻¹ Bᵀ : (M,4)
+        gBtBinv = jnp.einsum("mi,mij->mj", g, BtB_inv)
+        rhs = jnp.einsum("mj,mkj->mk", gBtBinv, B)
+        rhs = jnp.where(ok[:, None], rhs, 0.0)
+
+        # ∂L/∂params = −rhs · ∂F/∂params
+        _, vjp_sdf = jax.vjp(lambda prm: sdf_fn(prm, pts), params)
+        (g_sdf,) = vjp_sdf(-rhs[:, 0])
+        _, vjp_con = jax.vjp(lambda prm: constraint_fn(prm, pts), params)
+        (g_con,) = vjp_con(-rhs[:, 1:4])
+        g_params = jax.tree_util.tree_map(jnp.add, g_sdf, g_con)
+        return g_params, jnp.zeros_like(pts)
+
+    attach.defvjp(fwd, bwd)
+    return attach
+
+
+def ray_constraint(deformed_pts, cam_origin, rays):
+    """c = ray × (D(p) − cam): zero iff the deformed point lies on its
+    ray. Helper for building constraint_fn closures."""
+    return jnp.cross(rays, deformed_pts - cam_origin)

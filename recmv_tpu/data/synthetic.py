@@ -1,0 +1,202 @@
+"""Synthetic scene generator — reference-layout scenes from the
+procedural body, for tests/benchmarks without licensed assets.
+
+Writes the exact on-disk layout the reference consumes (SURVEY §2
+SceneDataset): imgs/, masks/, parsing_SCH_ATR/, featurelines/, normals/,
+smpl_rec.npz, camera.npz, plus gt_meshes/ for Chamfer evaluation
+(mirroring the reference's synthetic datasets with fitted GT garments,
+``tools/fitting_garment_meshes.py``).
+
+The scene: the synthetic humanoid wearing a "tube" garment (the body
+surface offset outward over the torso band), self-rotating in front of a
+fixed camera (PeopleSnapshot-style). Feature lines are the garment's top
+(neck) and bottom (bottom_curve) boundary rings projected per frame.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+import jax.numpy as jnp
+
+from ..models import camera as cam_mod
+from ..models.skinner import initial_lbs_skinner, skinner_apply
+from ..models.smpl import synthetic_body_model, synthetic_body_sdf
+from ..ops.marching_cubes import marching_cubes_np
+from ..ops.math3d import compute_fnorms
+from ..ops.rasterizer import rasterize_mesh, screen_with_cam_z
+
+GARMENT_OFFSET = 0.025
+TORSO_Y = (-0.12, 0.30)
+
+
+def apose(init_pose_type: int = 0) -> np.ndarray:
+    """The reference's template A-pose (utils/utils.py:68-99, type 0)."""
+    pose = np.zeros((24, 3), np.float32)
+    pose[1] = [0, 0, 10.0 / 180.0 * np.pi]
+    pose[2] = [0, 0, -10.0 / 180.0 * np.pi]
+    pose[16] = [0, 0, -45.0 / 180.0 * np.pi]
+    pose[17] = [0, 0, 45.0 / 180.0 * np.pi]
+    return pose
+
+
+def garment_sdf(pts: np.ndarray) -> np.ndarray:
+    """Tube garment: body offset surface ∩ torso slab (closed via CSG)."""
+    body = synthetic_body_sdf(pts) - GARMENT_OFFSET
+    slab = np.maximum(TORSO_Y[0] - pts[:, 1], pts[:, 1] - TORSO_Y[1])
+    return np.maximum(body, slab)
+
+
+def garment_mesh(res: int = 97):
+    lin = np.linspace(-0.9, 0.9, res, dtype=np.float32)
+    z, y, x = np.meshgrid(lin, lin, lin, indexing="ij")
+    pts = np.stack([x, y, z], -1).reshape(-1, 3)
+    vol = garment_sdf(pts).reshape(res, res, res)
+    step = lin[1] - lin[0]
+    return marching_cubes_np(vol, 0.0, (-0.9, -0.9, -0.9), (step,) * 3)
+
+
+def boundary_ring(y_level: float, n: int = 100):
+    """Ring on the garment surface at a fixed height: radial sphere trace
+    in the xz-plane from outside."""
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    dirs = np.stack([np.cos(ang), np.zeros(n), np.sin(ang)], 1).astype(np.float32)
+    pts = dirs * 1.2
+    pts[:, 1] = y_level
+    for _ in range(48):
+        sd = synthetic_body_sdf(pts) - GARMENT_OFFSET
+        pts = pts - dirs * sd[:, None] * 0.9
+        pts[:, 1] = y_level
+    return pts
+
+
+def make_camera_params(image_size: int):
+    return {
+        "fx": np.float32(image_size * 1.6),
+        "fy": np.float32(image_size * 1.6),
+        "cx": np.float32(image_size / 2.0),
+        "cy": np.float32(image_size / 2.0),
+        "quat": np.asarray([0.0, 0.0, 1.0, 0.0], np.float32),
+        "T": np.asarray([0.0, 0.2, 2.6], np.float32),
+    }
+
+
+def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
+                   yaw_range: float = 2 * np.pi, skinner_res=(49, 81, 25),
+                   raster_cap: int = 1024):
+    """Create a full scene. Returns the scene directory."""
+    os.makedirs(out_dir, exist_ok=True)
+    for sub in ("imgs", "masks", "parsing_SCH_ATR", "featurelines", "normals", "gt_meshes"):
+        os.makedirs(osp.join(out_dir, sub), exist_ok=True)
+
+    body = synthetic_body_model()
+    pose0 = apose()
+    sk, body_verts, body_faces = initial_lbs_skinner(
+        body, jnp.zeros(10), pose0, resolution=skinner_res
+    )
+    gv, gf = garment_mesh()
+    ring_top = boundary_ring(TORSO_Y[1] - 0.01)
+    ring_bot = boundary_ring(TORSO_Y[0] + 0.01)
+
+    campar = make_camera_params(image_size)
+    cam = cam_mod.make_camera(
+        {
+            "focal_length": np.asarray([campar["fx"], campar["fy"]]),
+            "princeple_points": np.asarray([campar["cx"], campar["cy"]]),
+            "cam2world_coord_quat": campar["quat"],
+            "world2cam_coord_trans": campar["T"],
+        },
+        (image_size, image_size),
+    )
+
+    poses = []
+    trans = []
+    H = W = image_size
+    n_body = len(np.asarray(body_verts))
+    n_gar = len(gv)
+
+    all_v = np.concatenate([np.asarray(body_verts), gv], 0)
+    all_f = np.concatenate([np.asarray(body_faces), gf + n_body], 0)
+
+    for fid in range(n_frames):
+        pose = pose0.copy()
+        pose[0, 1] = yaw_range * fid / max(n_frames, 1)
+        poses.append(pose)
+        trans.append(np.zeros(3, np.float32))
+
+        posed = np.asarray(
+            skinner_apply(sk, jnp.asarray(all_v)[None], jnp.asarray(pose)[None],
+                          jnp.zeros((1, 3)))
+        )[0]
+        pb = posed[:n_body]
+        pg = posed[n_body:]
+
+        sv = cam_mod  # readability
+        scr = np.asarray(screen_with_cam_z(cam, jnp.asarray(posed)))
+        frag = rasterize_mesh(jnp.asarray(scr), jnp.asarray(all_f, jnp.int32),
+                              (H, W), tile=32, cap=raster_cap)
+        pix2face = np.asarray(frag.pix_to_face[..., 0])
+        mask = pix2face >= 0
+        gar_hit = pix2face >= len(body_faces)
+
+        # normals: camera-space face normals of the hit faces
+        fn = np.asarray(compute_fnorms(jnp.asarray(posed), jnp.asarray(all_f, jnp.int32)))
+        R = np.asarray(cam.R)
+        fn_cam = fn @ R
+        nimg = np.zeros((H, W, 3), np.float32)
+        nimg[mask] = fn_cam[pix2face[mask]]
+        # camera looks along +z with flipped x/y axes: flip so normals
+        # face the viewer (PIFuHD-style encoding)
+        nimg[..., 2] *= -1
+
+        img = np.zeros((H, W, 3), np.float32)
+        shade = np.clip(nimg[..., 2], 0, 1)[..., None]
+        img[mask & ~gar_hit] = (np.asarray([0.75, 0.6, 0.5]) * shade[mask & ~gar_hit])
+        img[gar_hit] = np.asarray([0.25, 0.35, 0.8]) * shade[gar_hit]
+
+        parsing = np.zeros((H, W), np.uint8)
+        parsing[mask] = 9   # skin → a label outside ATR garment groups
+        parsing[gar_hit] = 4  # Upper-clothes
+
+        cv2.imwrite(osp.join(out_dir, f"imgs/{fid}.png"),
+                    (img[:, :, ::-1] * 255).astype(np.uint8))
+        cv2.imwrite(osp.join(out_dir, f"masks/{fid}.png"),
+                    (mask * 255).astype(np.uint8))
+        cv2.imwrite(osp.join(out_dir, f"normals/{fid}.png"),
+                    ((nimg[:, :, ::-1] + 1) / 2 * 255).astype(np.uint8))
+        np.save(osp.join(out_dir, f"parsing_SCH_ATR/{fid}.npy"), parsing)
+        # pre-fill the knn-propagated cache (identical here: parsing covers mask)
+        np.save(osp.join(out_dir, f"parsing_SCH_ATR/mask_parsing_{fid}.npy"), parsing)
+
+        # feature lines: project posed rings
+        shapes = []
+        for name, ring in (("neck", ring_top), ("bottom_curve", ring_bot)):
+            posed_ring = np.asarray(
+                skinner_apply(sk, jnp.asarray(ring)[None], jnp.asarray(pose)[None],
+                              jnp.zeros((1, 3)))
+            )[0]
+            pix = np.asarray(cam_mod.project(cam, jnp.asarray(posed_ring)))
+            # visible-ish half only would complicate; annotate full ring
+            shapes.append({"label": name, "shape_type": "linestrip",
+                           "points": pix.tolist()})
+        with open(osp.join(out_dir, f"featurelines/{fid}.json"), "w") as f:
+            json.dump({"shapes": shapes}, f)
+
+        np.savez(osp.join(out_dir, f"gt_meshes/{fid}.npz"), verts=pg, faces=gf)
+
+    np.savez(
+        osp.join(out_dir, "smpl_rec.npz"),
+        poses=np.stack(poses), trans=np.stack(trans),
+        shape=np.zeros(10, np.float32), gender="synthetic",
+    )
+    np.savez(osp.join(out_dir, "camera.npz"), **make_camera_params(image_size))
+    return out_dir

@@ -1,0 +1,170 @@
+"""Non-rigid ICP with per-vertex local affines — TPU-native.
+
+Parity with reference ``engineer/optimizer/nricp_optimizer.py:35-450``
+(``Local_Affine`` + ``NRICP_Optimizer_AdamW``, Amberg et al. CVPR'07 with
+normal gating): per source vertex a learnable affine (A_i, b_i), loss =
+
+    Σ gated ‖A_i v_i + b_i − nn(v_i)‖²  (normal-cosine gate > threshold,
+                                          boundary + singular-A excluded)
+  + stiffness_weight · Σ_edges ‖(W_i − W_j) G‖²   (G = diag(1,1,1,γ))
+  + static Σ ‖moved static pts − original‖²
+  + laplacian_weight · uniform mesh Laplacian magnitude,
+  total = sqrt(vert+stiff+static) + laplacian
+
+optimized by AdamW; correspondences refreshed each outer epoch; stiffness
+and Laplacian weights stepped down at milestones.
+
+TPU-first: the inner AdamW loop is one jitted ``lax.scan`` (the reference
+re-launches Python autograd per step); KNN is the chunked-matmul search.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.knn import knn
+from ..ops.math3d import compute_vnorms, fast_3x3_inv
+from .mesh_utils import compute_edges_unique, mesh_boundary_mask
+
+
+def local_affine_apply(params, verts):
+    """(A (N,3,3), b (N,3)) applied pointwise."""
+    return jnp.einsum("nij,nj->ni", params["A"], verts) + params["b"]
+
+
+def local_affine_normals(params, normals):
+    """Warp normals by A⁻ᵀ with singularity mask (nricp_optimizer.py:98-113)."""
+    inv, ok = fast_3x3_inv(params["A"])
+    out = jnp.einsum("nji,nj->ni", inv, normals)
+    return out, ok
+
+
+def _stiffness(params, edges, gamma):
+    W = jnp.concatenate([params["A"], params["b"][..., None]], axis=-1)  # (N,3,4)
+    diff = W[edges[:, 0]] - W[edges[:, 1]]
+    g = jnp.asarray([1.0, 1.0, 1.0, gamma])
+    return jnp.sum((diff * g) ** 2)
+
+
+def _uniform_laplacian_loss(verts, edges, num_verts):
+    """Mean uniform-Laplacian magnitude (pytorch3d
+    mesh_laplacian_smoothing, 'uniform')."""
+    deg = jnp.zeros((num_verts,)).at[edges[:, 0]].add(1.0).at[edges[:, 1]].add(1.0)
+    nbr_sum = (
+        jnp.zeros((num_verts, 3))
+        .at[edges[:, 0]].add(verts[edges[:, 1]])
+        .at[edges[:, 1]].add(verts[edges[:, 0]])
+    )
+    lap = nbr_sum / jnp.clip(deg[:, None], 1.0, None) - verts
+    return jnp.mean(jnp.linalg.norm(lap, axis=1))
+
+
+@dataclass
+class NricpConfig:
+    epochs: int = 200
+    inner_iter: int = 10
+    first_inner_iter: int = 100
+    stiffness_weight: tuple = (50.0, 20.0, 5.0, 2.0, 0.8, 0.5, 0.35, 0.2)
+    milestones: tuple = (50, 80, 100, 110, 120, 130, 140)
+    laplacian_weight: tuple = (250.0, 250.0, 250.0, 250.0, 250.0, 250.0, 250.0, 250.0)
+    gamma: float = 1.0
+    threshold: float = 0.5
+    lr: float = 1e-4
+
+
+def nricp_fit(source_verts, source_faces, target_verts, target_normals=None,
+              target_mask=None, static_ids=None, cfg: NricpConfig = None):
+    """Register source mesh onto a target point set. Returns deformed
+    source vertices (N,3) as numpy.
+
+    target_mask (T,) bool filters noisy target points (the reference's
+    nricp_masks); static_ids pins source vertices to their start position.
+    """
+    cfg = cfg or NricpConfig()
+    sv = jnp.asarray(source_verts, jnp.float32)
+    sf = np.asarray(source_faces, np.int64)
+    tv = np.asarray(target_verts, np.float32)
+    if target_normals is None:
+        target_normals = np.zeros_like(tv)
+        use_normal = False
+    else:
+        use_normal = True
+    if target_mask is not None:
+        tv = tv[np.asarray(target_mask) > 0]
+        target_normals = np.asarray(target_normals)[np.asarray(target_mask) > 0]
+    tv = jnp.asarray(tv)
+    tn = jnp.asarray(target_normals, jnp.float32)
+
+    N = sv.shape[0]
+    edges = jnp.asarray(compute_edges_unique(sf), jnp.int32)
+    inner_mask = jnp.asarray(~mesh_boundary_mask(sf, N))
+    source_normals = compute_vnorms(sv, jnp.asarray(sf, jnp.int32))
+    faces_j = jnp.asarray(sf, jnp.int32)
+
+    if static_ids is not None and len(static_ids):
+        static_ids = jnp.asarray(static_ids, jnp.int32)
+        static_targets = sv[static_ids]
+    else:
+        static_ids = None
+
+    params = {
+        "A": jnp.broadcast_to(jnp.eye(3), (N, 3, 3)).copy(),
+        "b": jnp.zeros((N, 3)),
+    }
+    opt = optax.adamw(cfg.lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, close_pts, close_nrm, sw, lw):
+        new_v = local_affine_apply(p, sv)
+        new_n, ok = local_affine_normals(p, source_normals)
+        gate = inner_mask & ok
+        if use_normal:
+            cos = jnp.sum(close_nrm * new_n, -1) / (
+                jnp.linalg.norm(close_nrm, axis=-1) * jnp.linalg.norm(new_n, axis=-1) + 1e-9
+            )
+            gate = gate & (cos > cfg.threshold)
+        gate = jax.lax.stop_gradient(gate)
+        vert = jnp.sum(jnp.where(gate[:, None], (new_v - close_pts) ** 2, 0.0))
+        stiff = _stiffness(p, edges, cfg.gamma) * sw
+        if static_ids is not None:
+            static = jnp.sum((new_v[static_ids] - static_targets) ** 2)
+        else:
+            static = 0.0
+        lap = _uniform_laplacian_loss(new_v, edges, N) * lw
+        return jnp.sqrt(vert + stiff + static + 1e-12) + lap
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(6,))
+    def inner_steps(params, opt_state, close_pts, close_nrm, sw, lw, n_steps):
+        def step(carry, _):
+            p, s = carry
+            g = jax.grad(loss_fn)(p, close_pts, close_nrm, sw, lw)
+            up, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, up), s), None
+
+        (params, opt_state), _ = jax.lax.scan(
+            step, (params, opt_state), None, length=n_steps
+        )
+        return params, opt_state
+
+    mile_idx = 0
+    for epoch in range(cfg.epochs):
+        new_v = local_affine_apply(params, sv)
+        _, idx = knn(new_v, tv, 1)
+        close_pts = tv[idx[:, 0]]
+        close_nrm = tn[idx[:, 0]]
+        sw = cfg.stiffness_weight[mile_idx]
+        lw = cfg.laplacian_weight[min(mile_idx, len(cfg.laplacian_weight) - 1)]
+        n = cfg.first_inner_iter if epoch == 0 else cfg.inner_iter
+        params, opt_state = inner_steps(params, opt_state, close_pts, close_nrm,
+                                        sw, lw, n)
+        if (epoch + 1) in cfg.milestones:
+            mile_idx = min(mile_idx + 1, len(cfg.stiffness_weight) - 1)
+
+    return np.asarray(local_affine_apply(params, sv))

@@ -45,17 +45,21 @@ def deform_points(tr_params, tr_static: TranslatorStatic, sk: SkinnerParams,
 
 
 def deformer_jacobian(deform_fn, ps_flat: jnp.ndarray) -> jnp.ndarray:
-    """Per-point Jacobian ∂D/∂p of a flat 3→3 map.
+    """Per-point Jacobian ∂D/∂p of a pointwise batched 3→3 map.
 
-    deform_fn: (M,3) → (M,3) (already closed over conds/frames).
-    Returns (M,3,3) with J[m,i,j] = ∂D_i/∂p_j — same layout as the
-    reference's stacked vjp rows.
+    deform_fn: (M,3) → (M,3), closed over conds/frames (may gather
+    per-point frame data by position, so it is *batched-pointwise*, not
+    vmappable per element). Three forward-mode jvps along the coordinate
+    basis give the full Jacobian — cheaper than the reference's three
+    reverse-mode vjps (utils/utils.py:133-156) and correct for any
+    position-dependent closure. Returns (M,3,3), J[m,i,j] = ∂D_i/∂p_j.
     """
-
-    def single(p):
-        return deform_fn(p[None])[0]
-
-    return jax.vmap(jax.jacfwd(single))(ps_flat)
+    basis = jnp.eye(3, dtype=ps_flat.dtype)
+    cols = [
+        jax.jvp(deform_fn, (ps_flat,), (jnp.broadcast_to(basis[i], ps_flat.shape),))[1]
+        for i in range(3)
+    ]
+    return jnp.stack(cols, axis=-1)
 
 
 def deformed_normals_from_grads(jac: jnp.ndarray, sdf_grads: jnp.ndarray):

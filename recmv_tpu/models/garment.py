@@ -1,0 +1,230 @@
+"""Garment templates: loading, body-slicing, boundary decoding.
+
+Parity targets: ``Garment_Mesh`` (reference
+``engineer/utils/garment_structure.py:357-1080``) and
+``garment_by_init_smpl`` / ``__load_smpl_garment_tempalte`` /
+``__load_deepfashion3d_template`` (``OptimGarmentNetwork.py:196-384``).
+
+The reference slices the SMPL A-pose body by pre-annotated vertex ids
+shipped in an external ``smpl_clothes_template`` folder (vertex-color
+coded boundary labels from registered DeepFashion3D templates). We load
+that asset layout when present (``load_template_assets``); otherwise we
+build *procedural* templates by slicing the body mesh with
+skeleton-derived planes per garment type — same downstream interface
+(open patch meshes whose boundary loops carry curve labels).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config.constants import FL_EXTRACT, GARMENT_COLOR_MAP, GARMENT_FL_MATCH
+from ..geometry.mesh_utils import (
+    boundary_loops,
+    close_holes,
+    dense_boundary,
+    slice_mesh_by_vertex_ids,
+    vertex_normals,
+)
+from ..geometry.polygons import uniform_sample_3d
+
+
+@dataclass
+class GarmentTemplate:
+    """An open garment patch with labeled boundary loops."""
+
+    name: str
+    verts: np.ndarray              # (V, 3)
+    faces: np.ndarray              # (F, 3)
+    boundary_labels: dict = field(default_factory=dict)  # curve name → vertex ids (ordered loop)
+    static_vertex_ids: np.ndarray | None = None
+
+    def dense_boundary(self, times: int = 1) -> "GarmentTemplate":
+        """Subdivide near the boundary (garment_structure.py:857) —
+        re-derives labeled loops afterwards by nearest-loop matching."""
+        old = {k: self.verts[v] for k, v in self.boundary_labels.items()}
+        verts, faces = dense_boundary(self.verts, self.faces, times)
+        out = GarmentTemplate(self.name, verts, faces)
+        out.label_boundaries_from_curves(old)
+        return out
+
+    def label_boundaries_from_curves(self, curve_pts_by_name: dict):
+        """Assign each boundary loop to the nearest labeled reference
+        curve (centroid distance)."""
+        loops = boundary_loops(self.faces)
+        self.boundary_labels = {}
+        taken = set()
+        for name, ref in curve_pts_by_name.items():
+            c_ref = np.asarray(ref).mean(0)
+            best, best_d = None, np.inf
+            for i, loop in enumerate(loops):
+                if i in taken:
+                    continue
+                d = np.linalg.norm(self.verts[loop].mean(0) - c_ref)
+                if d < best_d:
+                    best, best_d = i, d
+            if best is not None:
+                taken.add(best)
+                self.boundary_labels[name] = loops[best]
+
+    def extract_featurelines(self, sample_num: int = 200) -> dict:
+        """curve name → uniformly resampled (sample_num, 3) loop
+        (extract_featurelines, garment_structure.py:544)."""
+        out = {}
+        for name, loop in self.boundary_labels.items():
+            out[name] = uniform_sample_3d(self.verts[loop], sample_num).astype(np.float32)
+        return out
+
+    def close_hole(self):
+        """Fan-close all boundary loops + 2x subdivision
+        (garment_structure.py:775). Returns (verts, normals) for IGR
+        fitting of the closed garment SDF."""
+        v, f, _ = close_holes(self.verts, self.faces, subdivide_times=2)
+        return v.astype(np.float32), f, vertex_normals(v, f).astype(np.float32)
+
+
+def load_template_assets(template_dir: str, garment_name: str) -> GarmentTemplate | None:
+    """Load a reference-layout template (obj with vertex colors encoding
+    boundary labels per GARMENT_COLOR_MAP) if the external asset exists."""
+    for cand in (f"{garment_name}.obj", f"{garment_name}/template.obj"):
+        p = osp.join(template_dir, cand)
+        if osp.isfile(p):
+            verts, faces, colors = _load_obj_with_colors(p)
+            t = GarmentTemplate(garment_name, verts, faces)
+            cmap = GARMENT_COLOR_MAP.get(garment_name, {})
+            curve_ref = {}
+            for label, rgb in cmap.items():
+                if label == "back_ground":
+                    continue
+                sel = (np.abs(colors - np.asarray(rgb) / 255.0) < 0.02).all(1)
+                if sel.any():
+                    curve_ref[label] = verts[sel]
+            t.label_boundaries_from_curves(curve_ref)
+            return t
+    return None
+
+
+def _load_obj_with_colors(path):
+    verts, colors, faces = [], [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(x) for x in parts[1:4]])
+                colors.append([float(x) for x in parts[4:7]] if len(parts) >= 7 else [1, 1, 1])
+            elif line.startswith("f "):
+                idx = [int(p.split("/")[0]) - 1 for p in line.split()[1:4]]
+                faces.append(idx)
+    return (np.asarray(verts, np.float32), np.asarray(faces, np.int64),
+            np.asarray(colors, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Procedural body-slice templates (no external assets)
+# ---------------------------------------------------------------------------
+
+def _slice_by_mask(verts, faces, keep_mask):
+    sv, sf, old_ids = slice_mesh_by_vertex_ids(verts, faces, np.where(keep_mask)[0])
+    return sv, sf, old_ids
+
+
+def procedural_template(garment_name: str, body_verts: np.ndarray,
+                        body_faces: np.ndarray, joints: np.ndarray) -> GarmentTemplate:
+    """Slice the A-pose body into a garment patch using skeleton planes.
+
+    joints (24,3) SMPL-ordered rest joints. The cut heights follow the
+    garment taxonomy (GARMENT_FL_MATCH): e.g. short_sleeve_upper = torso
+    band between neck and hips plus upper arms to mid-upper-arm.
+    """
+    v = np.asarray(body_verts)
+    y = v[:, 1]
+    x = v[:, 0]
+    neck_y = joints[12, 1]
+    hip_y = (joints[1, 1] + joints[2, 1]) / 2.0
+    knee_y = (joints[4, 1] + joints[5, 1]) / 2.0
+    ankle_y = (joints[7, 1] + joints[8, 1]) / 2.0
+    sho_l = joints[16]
+    sho_r = joints[17]
+    elb_l = joints[18]
+    elb_r = joints[19]
+    wri_l = joints[20]
+    wri_r = joints[21]
+
+    def arm_frac(frac):
+        return (abs(sho_l[0] + frac * (elb_l[0] - sho_l[0])),)
+
+    torso = (y > hip_y) & (y < neck_y) & (np.abs(x) < abs(sho_l[0]) * 1.15)
+    if garment_name in ("short_sleeve_upper",):
+        cut = sho_l[0] + 0.55 * (elb_l[0] - sho_l[0])
+        arms = (y > hip_y) & (np.abs(x) >= abs(sho_l[0]) * 0.9) & (np.abs(x) < abs(cut))
+        keep = torso | arms
+        curve_y = {"neck": neck_y, "upper_bottom": hip_y}
+    elif garment_name in ("long_sleeve_upper",):
+        cut = wri_l[0]
+        arms = (y > hip_y - 0.02) & (np.abs(x) >= abs(sho_l[0]) * 0.9) & (np.abs(x) < abs(cut))
+        keep = torso | arms
+        curve_y = {"neck": neck_y, "upper_bottom": hip_y}
+    elif garment_name in ("no_sleeve_upper", "tube"):
+        keep = torso
+        curve_y = {"neck": neck_y, "bottom_curve": hip_y}
+    elif garment_name == "dress":
+        keep = (y > knee_y) & (y < neck_y)
+        keep &= ~((np.abs(x) > abs(elb_l[0])) & (y > hip_y))
+        curve_y = {"neck": neck_y, "bottom_curve": knee_y}
+    elif garment_name == "skirt":
+        keep = (y > knee_y) & (y < hip_y + 0.05) & (np.abs(x) < abs(sho_l[0]))
+        curve_y = {"upper_bottom": hip_y + 0.04, "bottom_curve": knee_y}
+    elif garment_name in ("long_pants",):
+        keep = (y > ankle_y) & (y < hip_y + 0.05) & (np.abs(x) < abs(sho_l[0]))
+        curve_y = {"upper_bottom": hip_y + 0.04, "left_pant": ankle_y, "right_pant": ankle_y}
+    elif garment_name in ("short_pants",):
+        keep = (y > knee_y) & (y < hip_y + 0.05) & (np.abs(x) < abs(sho_l[0]))
+        curve_y = {"upper_bottom": hip_y + 0.04, "left_pant": knee_y, "right_pant": knee_y}
+    else:
+        raise ValueError(f"no procedural template for {garment_name}")
+
+    sv, sf, _ = _slice_by_mask(v, body_faces, keep)
+    # offset outward so the garment sits above the skin
+    sn = vertex_normals(sv, sf)
+    sv = sv + sn * 0.012
+
+    t = GarmentTemplate(garment_name, sv, sf)
+    # label loops by expected curve locations
+    loops = boundary_loops(sf)
+    refs = {}
+    for cname in FL_EXTRACT[garment_name]:
+        ylv = curve_y.get(cname)
+        if ylv is None:
+            continue
+        side = 0.0
+        if cname.startswith("left"):
+            side = +0.2
+        elif cname.startswith("right"):
+            side = -0.2
+        refs[cname] = np.asarray([[side, ylv, 0.0]])
+    # cuffs: arm-end loops
+    if "left_cuff" in FL_EXTRACT[garment_name]:
+        xr = max(abs(sv[:, 0].max()), abs(sv[:, 0].min()))
+        refs["left_cuff"] = np.asarray([[xr, sho_l[1], 0.0]])
+        refs["right_cuff"] = np.asarray([[-xr, sho_r[1], 0.0]])
+    t.label_boundaries_from_curves(refs)
+    return t
+
+
+def garment_templates_from_body(garment_names, body_verts, body_faces, joints,
+                                template_dir: str | None = None):
+    """Templates for all garments of a subject: external assets when
+    available, procedural slices otherwise (garment_by_init_smpl parity)."""
+    out = []
+    for name in garment_names:
+        t = None
+        if template_dir:
+            t = load_template_assets(template_dir, name)
+        if t is None:
+            t = procedural_template(name, body_verts, body_faces, joints)
+        out.append(t)
+    return out

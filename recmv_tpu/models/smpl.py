@@ -199,8 +199,10 @@ def synthetic_body_model(n_subdiv: int = 40) -> SMPLModel:
         return i * n_lon + (j % n_lon)
     for i in range(n_lat - 1):
         for j in range(n_lon):
-            faces.append([vid(i, j), vid(i + 1, j), vid(i, j + 1)])
-            faces.append([vid(i, j + 1), vid(i + 1, j), vid(i + 1, j + 1)])
+            # winding chosen so face normals point outward (IGR fitting
+            # and the mask/normal losses depend on outward orientation)
+            faces.append([vid(i, j), vid(i, j + 1), vid(i + 1, j)])
+            faces.append([vid(i, j + 1), vid(i + 1, j + 1), vid(i + 1, j)])
     faces = np.asarray(faces, np.int64)
 
     # Skinning weights: softmax over negative distance to child bones

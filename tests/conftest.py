@@ -1,13 +1,18 @@
-"""Test configuration: run everything on CPU with 8 virtual devices so
-multi-chip sharding paths are exercised without TPU hardware."""
+"""Test configuration: force CPU with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware.
+
+NOTE: this machine's axon TPU plugin force-registers itself and ignores
+the JAX_PLATFORMS env var, so the platform must be set through
+jax.config *before any computation* (see .claude/skills/verify/SKILL.md).
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -48,7 +48,7 @@ from ..models.garment_model import (
     scene_camera,
     split_deform_conds,
 )
-from ..models.sdf import sdf_apply, sdf_value, sdf_value_and_gradient
+from ..models.sdf import sdf_apply, sdf_gradient, sdf_value, sdf_value_and_gradient
 from ..models.skinner import bbox_size, posed_skeleton, skinner_apply
 from ..models.translator import translator_apply
 from ..ops.grid_sample import grid_sample_2d
@@ -104,7 +104,8 @@ class GarmentOptimNetwork:
     def __init__(self, conf, dataset: SceneDataset, params: dict,
                  statics: ModelStatics, curve_statics: CurveStatics | None,
                  body_vs, body_fs, seg3d_cfg: Seg3dConfig,
-                 train_cfg: TrainConfig | None = None, sdf_shrink: float = 0.0):
+                 train_cfg: TrainConfig | None = None, sdf_shrink: float = 0.0,
+                 large_pose: bool = False):
         self.conf = conf                 # active loss_<phase> config block
         self.full_conf = conf
         self.dataset = dataset
@@ -133,6 +134,12 @@ class GarmentOptimNetwork:
         self.vert_opt = optax.sgd(0.05, momentum=0.9)
         self.vert_opt_state = None
         self._lr_scale = 1.0
+        self._jit_cache = {}
+        self._phase_token = 0
+        # Large-pose stage (OptimGarmentNetwork_LargePose,
+        # OptimGarmentNetwork_Large_Pose.py:120-474): SDFs frozen, curve
+        # losses disabled — only deformer/poses/latents/camera train.
+        self.large_pose = bool(large_pose)
 
         self._init_global_opt()
 
@@ -175,8 +182,10 @@ class GarmentOptimNetwork:
         from ..data.dataset import trainable_mask
 
         g = self._global_params()
+        freeze_sdf = getattr(self, "large_pose", False)
         mask = {
-            "sdf": True, "garment_sdfs": True, "translator": True, "render": True,
+            "sdf": not freeze_sdf, "garment_sdfs": not freeze_sdf,
+            "translator": True, "render": True,
             "scene": trainable_mask(self.full_conf, self.dataset.frame_num),
         }
 
@@ -241,9 +250,11 @@ class GarmentOptimNetwork:
             return max(c, 2048)
 
         def trim(v, f, nv, nf):
-            cv = min(cap_of(nv), v.shape[0])
-            cf = min(cap_of(nf), f.shape[0])
-            return v[:cv], jnp.asarray(f[:cf], jnp.int32)
+            # marching_cubes returns lane-major (3, cap); trim then
+            # transpose so only the small (cap, 3) buffer materializes
+            cv = min(cap_of(nv), v.shape[1])
+            cf = min(cap_of(nf), f.shape[1])
+            return v[:, :cv].T, jnp.asarray(f[:, :cf].T, jnp.int32)
 
         b_v, b_f = trim(*body)
         g_trim = [trim(*g) for g in garments]
@@ -269,9 +280,11 @@ class GarmentOptimNetwork:
     # ------------------------------------------------------------------
 
     def _ratio_dict(self, ratio):
-        if isinstance(ratio, dict):
-            return ratio
-        return {"sdfRatio": 1.0, "deformerRatio": ratio, "renderRatio": 1.0}
+        """Normalize to a dict of *traced* scalars so the annealing ratio
+        (which changes every step) does not force retraces."""
+        if not isinstance(ratio, dict):
+            ratio = {"sdfRatio": 1.0, "deformerRatio": ratio, "renderRatio": 1.0}
+        return {k: jnp.asarray(v, jnp.float32) for k, v in ratio.items()}
 
     def _camera(self, scene):
         return scene_camera(scene, self.statics.image_size)
@@ -429,7 +442,7 @@ class GarmentOptimNetwork:
     # ------------------------------------------------------------------
 
     def pc_branch_loss(self, garment_vs_tuple, gparams, frame_ids, gt_garment_masks,
-                       ratio):
+                       ratio, counts):
         """mask_loss (OptimGarmentNetwork.py:841-981): joint point-cloud
         rendering of all garments with per-garment feature split (handles
         inter-garment occlusion), IoU vs max-pooled gt masks + deformation
@@ -447,14 +460,8 @@ class GarmentOptimNetwork:
             {"translator": gparams["translator"]}, scene, list(garment_vs_tuple),
             frame_ids, ratio)
         all_def = jnp.concatenate(def_vs, axis=1)  # (N, ΣcapV, 3)
-        counts = self.mesh.garment_n
         caps = [v.shape[0] for v in garment_vs_tuple]
-        valid_sections = []
-        off = 0
-        for cap, n in zip(caps, counts):
-            idx = jnp.arange(cap)
-            valid_sections.append(idx < n)
-            off += cap
+        valid_sections = [jnp.arange(cap) < counts[i] for i, cap in enumerate(caps)]
         valid_all = jnp.concatenate(valid_sections)
 
         conds = split_deform_conds(scene["conds"]["deformer"][frame_ids],
@@ -511,7 +518,8 @@ class GarmentOptimNetwork:
     # ray machinery: find surface seeds → sample ray budget → solve
     # ------------------------------------------------------------------
 
-    def find_and_sample_rays(self, gparams, frame_ids, gt_garment_masks, ratio, key):
+    def find_and_sample_rays(self, gparams, frame_ids, gt_garment_masks, ratio, key,
+                             garment_vs_t, garment_fs_t):
         """find_surface_ps + sample_train_ray (OptimGarmentNetwork.py:742,
         983): rasterize the deformed MC garment meshes, take first-hit
         canonical surface seeds per pixel, keep pixels inside the gt
@@ -530,12 +538,12 @@ class GarmentOptimNetwork:
 
         def_vs = self._deform_garment_verts(
             {"translator": gparams["translator"]}, scene,
-            self.mesh.garment_vs, frame_ids, ratio)
+            list(garment_vs_t), frame_ids, ratio)
 
         out = []
         for gi in range(self.statics.garment_size):
-            fs = self.mesh.garment_fs[gi]
-            cano = self.mesh.garment_vs[gi]
+            fs = garment_fs_t[gi]
+            cano = garment_vs_t[gi]
 
             def per_frame(pv):
                 scr = screen_with_cam_z(cam, pv)
@@ -577,8 +585,6 @@ class GarmentOptimNetwork:
         poses = scene["poses"][frame_ids]
         trans = scene["trans"][frame_ids]
         origin = jax.lax.stop_gradient(cam_mod.cam_pos(cam))
-        if self.ang_thred is None:
-            self.ang_thred = cam_mod.ang_threshold(self._camera(self.scene_tree()))
         results = []
         for gi, rd in enumerate(ray_data):
             model_params = {"translator": gparams["translator"],
@@ -595,15 +601,14 @@ class GarmentOptimNetwork:
                 times=self.cfg.solver_times,
             )
             results.append(dict(pts=pts, conv=conv, **rd))
-            self.info[f"{self.statics.garment_names[gi]}_rayInfo"] = (
-                int(rd["valid"].shape[0]), int(jnp.sum(conv)))
         return results
 
     # ------------------------------------------------------------------
     # ③ main loss (IDR render + pc-sdf + curve-aware + DCT)
     # ------------------------------------------------------------------
 
-    def main_loss(self, gparams, solved, frame_ids, batch, garment_vs_updated, ratio, key):
+    def main_loss(self, gparams, curve_params, solved, frame_ids, batch,
+                  garment_vs_t, counts, win_ids, ratio, key):
         scene = gparams["scene"]
         cam = self._camera(scene)
         N = frame_ids.shape[0]
@@ -620,8 +625,8 @@ class GarmentOptimNetwork:
         # pc-sdf: anchor updated explicit verts to the implicit surfaces
         pc_w = float(self.conf.get_float("pc_weight.weight", 60.0))
         for gi, gname in enumerate(self.statics.garment_names):
-            vs = garment_vs_updated[gi]
-            valid = jnp.arange(vs.shape[0]) < self.mesh.garment_n[gi]
+            vs = garment_vs_t[gi]
+            valid = jnp.arange(vs.shape[0]) < counts[gi]
             sdfv = sdf_value(gparams["garment_sdfs"][gi], self.statics.garment_sdf,
                              jax.lax.stop_gradient(vs), r["sdfRatio"])
             s_loss = L.sdf_shrink_loss(sdfv, self.sdf_shrink, valid)
@@ -637,7 +642,7 @@ class GarmentOptimNetwork:
             target_curve = CURVE_AWARE[self.dataset.garment_type]
         if ca_w > 0 and target_curve is not None:
             ci = list(self.curve_statics.fl_names).index(target_curve)
-            cv = curves_forward(self.params["curves"], self.curve_statics)[ci]
+            cv = curves_forward(curve_params, self.curve_statics)[ci]
             center = cv.mean(0, keepdims=True)
             Sn = cv.shape[0]
             key, sub = jax.random.split(key)
@@ -669,10 +674,10 @@ class GarmentOptimNetwork:
 
             # eikonal on local+global samples around surface pts + verts
             key, sub = jax.random.split(key)
-            vs = self.mesh.garment_vs[gi]
-            nv = self.mesh.garment_n[gi]
+            vs = garment_vs_t[gi]
             key, s2 = jax.random.split(key)
-            vsel = jax.random.randint(s2, (self.cfg.surface_sample,), 0, max(nv, 1))
+            vsel = jax.random.randint(s2, (self.cfg.surface_sample,), 0, vs.shape[0])
+            vsel = vsel % jnp.maximum(counts[gi], 1)
             base = jnp.concatenate([sd["pts"], jax.lax.stop_gradient(vs[vsel])], 0)
             key, s3 = jax.random.split(key)
             local = base + 0.01 * jax.random.normal(s3, base.shape)
@@ -737,8 +742,9 @@ class GarmentOptimNetwork:
             TmpPs = attach(aux_params, sd["pts"])
 
             sdfs, feat = sdf_apply(gsdf, self.statics.garment_sdf, TmpPs, r["sdfRatio"])
-            nx = jax.grad(lambda p: jnp.sum(sdf_value(gsdf, self.statics.garment_sdf,
-                                                      p, r["sdfRatio"])))(TmpPs)
+            # forward-mode point gradient (reverse-mode trips the axon
+            # TPU compiler — see models/sdf.py docstring)
+            nx = sdf_gradient(gsdf, self.statics.garment_sdf, TmpPs, r["sdfRatio"])
             nx = nx / jnp.clip(jnp.linalg.norm(nx, axis=-1, keepdims=True), 1e-9, None)
 
             from ..models.deformer import cardinal_rays_from_jac, deformer_jacobian
@@ -779,9 +785,8 @@ class GarmentOptimNetwork:
 
         # DCT temporal prior over posed joints
         dct_w = float(self.conf.get_float("dct_weight", 0.0))
-        if dct_w > 0 and self.dataset.frame_num > self.dct_null.shape[1]:
+        if dct_w > 0 and win_ids is not None:
             Nlen = self.dct_null.shape[1]
-            win_ids = self._window_ids(np.asarray(frame_ids), Nlen)  # (N, Nlen)
             wp = scene["poses"][win_ids.reshape(-1)]
             wt = scene["trans"][win_ids.reshape(-1)]
             js = posed_skeleton(self.params["skinner"], wp) + wt[:, None, :]
@@ -823,6 +828,76 @@ class GarmentOptimNetwork:
             out.append(jnp.asarray(batch[key]))
         return out
 
+    def _get_jitted(self, N, caps):
+        """Phase functions jitted once per (batch size, mesh capacities,
+        loss phase) — all per-step-varying state flows through arguments,
+        so steps after the first reuse compiled executables."""
+        sig = (N, caps, self._phase_token)
+        if self._jit_cache.get("sig") == sig:
+            return self._jit_cache
+        cache = {"sig": sig}
+
+        def fl_fn(gp, cp, fids, fl_pts, fl_masks, r):
+            return self.fl_branch_loss(gp, cp, fids, fl_pts, fl_masks, r)
+
+        cache["fl"] = jax.jit(
+            jax.value_and_grad(fl_fn, argnums=(0, 1), has_aux=True))
+
+        def pc_fn(vs_t, gp, fids, gt_masks, r, counts):
+            loss, (info, _) = self.pc_branch_loss(vs_t, gp, fids, gt_masks, r, counts)
+            return loss, info
+
+        cache["pc"] = jax.jit(
+            jax.value_and_grad(pc_fn, argnums=(0, 1), has_aux=True))
+
+        def rays_fn(gp, fids, gt_masks, r, key, vs_t, fs_t):
+            ray_data, key = self.find_and_sample_rays(gp, fids, gt_masks, r, key,
+                                                      vs_t, fs_t)
+            solved = self.solve_surface_points(gp, ray_data, fids, r)
+            return solved, key
+
+        cache["rays"] = jax.jit(rays_fn)
+
+        def main_fn(gp, cp, solved, fids, imgs, normals, vs_t, counts, win_ids,
+                    r, key):
+            batch = {"img": imgs}
+            if normals is not None:
+                batch["normal"] = normals
+            return self.main_loss(gp, cp, solved, fids, batch, vs_t, counts,
+                                  win_ids, r, key)
+
+        cache["main"] = jax.jit(
+            jax.value_and_grad(main_fn, has_aux=True))
+
+        def update_fn(g_fl, g_pc, g_main, gparams, opt_state, lr_scale):
+            grads = jax.tree_util.tree_map(lambda a, b, c: a + b + c,
+                                           g_fl, g_pc, g_main)
+            grads = self._apply_trainable_mask(grads)
+            grads = jax.tree_util.tree_map(lambda g: g * lr_scale, grads)
+            up, opt_state = self.global_opt.update(grads, opt_state, gparams)
+            return optax.apply_updates(gparams, up), opt_state
+
+        cache["update"] = jax.jit(update_fn)
+
+        def curve_update_fn(g_curve, cp, st):
+            up, st = self.curve_opt.update(g_curve, st, cp)
+            return optax.apply_updates(cp, up), st
+
+        cache["curve_update"] = jax.jit(curve_update_fn)
+
+        def vert_update_fn(g_verts, gvs, st, counts):
+            g_verts = tuple(
+                jnp.where((jnp.arange(v.shape[0]) < n)[:, None], g, 0.0)
+                for g, v, n in zip(g_verts, gvs, counts)
+            )
+            up, st = self.vert_opt.update(g_verts, st, gvs)
+            return optax.apply_updates(gvs, up), st
+
+        cache["vert_update"] = jax.jit(vert_update_fn)
+
+        self._jit_cache = cache
+        return cache
+
     def train_step(self, batch, frame_ids, ratio, key):
         """One optimization step. batch: numpy dict from
         dataset.get_batch; frame_ids (N,) local ids; ratio dict.
@@ -839,76 +914,83 @@ class GarmentOptimNetwork:
             self.marching_cube_update(r)
         self.info["t_remesh"] = _time.time() - _t0
 
+        if self.ang_thred is None:
+            self.ang_thred = cam_mod.ang_threshold(self._camera(self.scene_tree()))
+
         _t0 = _time.time()
+        N = int(frame_ids.shape[0])
+        gvs = tuple(self.mesh.garment_vs)
+        fs_t = tuple(self.mesh.garment_fs)
+        caps = tuple(v.shape[0] for v in gvs) + tuple(f.shape[0] for f in fs_t)
+        counts = jnp.asarray(self.mesh.garment_n, jnp.int32)
+        fns = self._get_jitted(N, caps)
+
         gparams = self._global_params()
         gt_garment_masks = self.garment_masks_from_batch(batch)
-        fl_pts = jnp.asarray(batch["fl_pts"])   # (N, C, S, 2)
-        fl_masks = jnp.asarray(batch["fl_masks"])  # (N, C)
+        fl_pts = jnp.asarray(batch["fl_pts"])
+        fl_masks = jnp.asarray(batch["fl_masks"])
+        imgs = jnp.asarray(batch["img"])
+        normals = jnp.asarray(batch["normal"]) if "normal" in batch else None
 
-        # ① curve branch
-        def fl_fn(gp, cp):
-            return self.fl_branch_loss(gp, cp, frame_ids, fl_pts, fl_masks, r)
-
-        (fl_loss, fl_info), (g_fl_global, g_fl_curve) = jax.value_and_grad(
-            fl_fn, argnums=(0, 1), has_aux=True)(gparams, self.params["curves"])
-        up, self.curve_opt_state = self.curve_opt.update(
-            g_fl_curve, self.curve_opt_state, self.params["curves"])
-        self.params["curves"] = optax.apply_updates(self.params["curves"], up)
-        self.info.update({k: float(v) for k, v in fl_info.items()})
-        self.info["fl_loss_total"] = float(fl_loss)
+        # ① curve branch (zeroed in the large-pose stage — the reference
+        # multiplies both curve losses by 0, Large_Pose.py:219)
+        if not self.large_pose:
+            (fl_loss, fl_info), (g_fl_global, g_fl_curve) = fns["fl"](
+                gparams, self.params["curves"], frame_ids, fl_pts, fl_masks, r)
+            self.params["curves"], self.curve_opt_state = fns["curve_update"](
+                g_fl_curve, self.params["curves"], self.curve_opt_state)
+            self.info.update({k: float(v) for k, v in fl_info.items()})
+            self.info["fl_loss_total"] = float(fl_loss)
+        else:
+            g_fl_global = jax.tree_util.tree_map(jnp.zeros_like, gparams)
         self.info["t_fl"] = _time.time() - _t0; _t0 = _time.time()
 
         # ② mask branch
-        gvs = tuple(self.mesh.garment_vs)
-
-        def pc_fn(vs_tuple, gp):
-            loss, (info, masks) = self.pc_branch_loss(vs_tuple, gp, frame_ids,
-                                                      gt_garment_masks, r)
-            return loss, info
-
-        (pc_loss, pc_info), (g_verts, g_pc_global) = jax.value_and_grad(
-            pc_fn, argnums=(0, 1), has_aux=True)(gvs, gparams)
-        # mask padded vertex grads
-        g_verts = tuple(
-            jnp.where((jnp.arange(v.shape[0]) < n)[:, None], g, 0.0)
-            for g, v, n in zip(g_verts, gvs, self.mesh.garment_n)
-        )
-        vup, self.vert_opt_state = self.vert_opt.update(g_verts, self.vert_opt_state, gvs)
-        self.mesh.garment_vs = list(optax.apply_updates(gvs, vup))
+        (pc_loss, pc_info), (g_verts, g_pc_global) = fns["pc"](
+            gvs, gparams, frame_ids, gt_garment_masks, r, counts)
+        new_gvs, self.vert_opt_state = fns["vert_update"](
+            g_verts, gvs, self.vert_opt_state, counts)
+        self.mesh.garment_vs = list(new_gvs)
         self.info.update({k: float(v) for k, v in pc_info.items()})
         self.info["pc_loss_total"] = float(pc_loss)
         self.info["t_pc"] = _time.time() - _t0; _t0 = _time.time()
 
         # rays + surface solve (no grad)
         key = jax.random.PRNGKey(int(self.opt_times)) if key is None else key
-        ray_data, key = self.find_and_sample_rays(gparams, frame_ids,
-                                                  gt_garment_masks, r, key)
-        solved = self.solve_surface_points(gparams, ray_data, frame_ids, r)
+        solved, key = fns["rays"](gparams, frame_ids, gt_garment_masks, r, key,
+                                  tuple(self.mesh.garment_vs), fs_t)
+        for gi, gname in enumerate(self.statics.garment_names):
+            self.info[f"{gname}_rayInfo"] = (
+                int(solved[gi]["valid"].shape[0]), int(jnp.sum(solved[gi]["conv"])))
         self.info["t_rays"] = _time.time() - _t0; _t0 = _time.time()
 
         # ③ main loss (+ implicit adjoint inside)
-        def main_fn(gp):
-            return self.main_loss(gp, solved, frame_ids, batch,
-                                  self.mesh.garment_vs, r, key)
-
-        (m_loss, m_info), g_main = jax.value_and_grad(main_fn, has_aux=True)(gparams)
+        dct_w = float(self.conf.get_float("dct_weight", 0.0))
+        win_ids = None
+        if dct_w > 0 and self.dataset.frame_num > self.dct_null.shape[1]:
+            win_ids = jnp.asarray(
+                self._window_ids(np.asarray(frame_ids), self.dct_null.shape[1]))
+        (m_loss, m_info), g_main = fns["main"](
+            gparams, self.params["curves"], solved, frame_ids, imgs, normals,
+            tuple(self.mesh.garment_vs), counts, win_ids, r, key)
         self.info.update({k: float(v) for k, v in m_info.items()})
         self.info["t_main"] = _time.time() - _t0; _t0 = _time.time()
 
         # ④ combine and update globals (grad accumulation parity)
-        grads = jax.tree_util.tree_map(lambda a, b, c: a + b + c,
-                                       g_fl_global, g_pc_global, g_main)
-        grads = self._apply_trainable_mask(grads)
-        grads = jax.tree_util.tree_map(lambda g: g * self._lr_scale, grads)
-        gup, self.global_opt_state = self.global_opt.update(
-            grads, self.global_opt_state, gparams)
-        gparams = optax.apply_updates(gparams, gup)
+        gparams, self.global_opt_state = fns["update"](
+            g_fl_global, g_pc_global, g_main, gparams, self.global_opt_state,
+            jnp.asarray(self._lr_scale, jnp.float32))
         self._write_back(gparams)
         self.info["t_update"] = _time.time() - _t0
 
         self.opt_times += 1.0
         total = float(m_loss)
         return total, self.info
+
+    def on_phase_change(self):
+        """Invalidate compiled phase functions (loss block / curve
+        parameterization changed)."""
+        self._phase_token += 1
 
     def set_lr_scale(self, scale: float):
         """MultiStepLR-equivalent: scale applied to gradients feeding the
@@ -1108,6 +1190,7 @@ class GarmentOptimNetwork:
         self.curve_statics = statics
         self.curve_opt_state = self.curve_opt.init(params)
         self.inverse_fl_body = inv
+        self._phase_token += 1
         return params, statics
 
     def initialize_tmp_sdf(self, nepochs: int = 1200, save_dir: str | None = None,

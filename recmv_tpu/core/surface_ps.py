@@ -135,11 +135,17 @@ def make_implicit_surface_adjoint(sdf_fn, constraint_fn):
     def bwd(res, g):
         params, pts = res
 
-        # B rows: ∇_p sdf (M,1,3) and ∂(ray×(D−cam))/∂p (M,3,3)
-        def sdf_sum(p):
-            return jnp.sum(sdf_fn(params, p))
+        # B rows: ∇_p sdf (M,1,3) and ∂(ray×(D−cam))/∂p (M,3,3).
+        # Forward-mode jvps throughout (the axon TPU compiler SIGILLs on
+        # reverse-mode point-gradients of the SDF MLP).
+        def sdf_batch(p):
+            return sdf_fn(params, p)
 
-        grad_f_p = jax.grad(sdf_sum)(pts)  # (M,3)
+        basis3 = jnp.eye(3, dtype=pts.dtype)
+        gcols = [jax.jvp(sdf_batch, (pts,),
+                         (jnp.broadcast_to(basis3[i], pts.shape),))[1]
+                 for i in range(3)]
+        grad_f_p = jnp.stack(gcols, axis=-1)  # (M,3)
 
         # constraint_fn is pointwise over M: Jacobian via 3 jvps on the batch
         def con(p):

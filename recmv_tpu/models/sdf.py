@@ -155,16 +155,26 @@ def sdf_value(params, static, pts, ratio=None):
 
 def sdf_gradient(params, static, pts, ratio=None):
     """∇_x sdf(x) for pts (..., 3) — replaces the reference's retain_graph
-    autograd.grad (network.py:121). sdf at point i depends only on point i,
-    so one reverse pass on the summed batched field gives all per-point
-    gradients (cheaper to trace than vmap(grad))."""
-    flat = pts.reshape(-1, 3)
-    grads = jax.grad(lambda p: jnp.sum(sdf_value(params, static, p, ratio)))(flat)
-    return grads.reshape(pts.shape)
+    autograd.grad (network.py:121).
+
+    Computed in FORWARD mode (3 jvps along the coordinate basis): for a
+    3-input MLP the cost matches one backward pass, jvps of matmuls stay
+    matmuls (MXU-friendly, no transposed weight reads), and — decisive on
+    this toolchain — the axon TPU compiler SIGILLs on the reverse-mode
+    point-gradient graph of this network while the jvp form compiles
+    (see memory: axon-tpu-platform)."""
+    return sdf_value_and_gradient(params, static, pts, ratio)[1]
 
 
 def sdf_value_and_gradient(params, static, pts, ratio=None):
     flat = pts.reshape(-1, 3)
-    vals, vjp = jax.vjp(lambda p: sdf_value(params, static, p, ratio), flat)
-    (grads,) = vjp(jnp.ones_like(vals))
+
+    def f(p):
+        return sdf_apply(params, static, p, ratio)[0]
+
+    basis = jnp.eye(3, dtype=flat.dtype)
+    vals, g0 = jax.jvp(f, (flat,), (jnp.broadcast_to(basis[0], flat.shape),))
+    _, g1 = jax.jvp(f, (flat,), (jnp.broadcast_to(basis[1], flat.shape),))
+    _, g2 = jax.jvp(f, (flat,), (jnp.broadcast_to(basis[2], flat.shape),))
+    grads = jnp.stack([g0, g1, g2], axis=-1)
     return vals.reshape(pts.shape[:-1]), grads.reshape(pts.shape)

@@ -78,10 +78,10 @@ def marching_cubes(vol: jnp.ndarray, level: float = 0.0,
                    max_verts: int = 1 << 17, max_faces: int = 1 << 18):
     """Extract the iso-surface mesh.
 
-    Returns (verts (max_verts,3) world-space, faces (max_faces,3) int32,
-    n_verts, n_faces). Slots beyond the counts hold zeros / degenerate
-    faces (0,0,0). Raises no error on overflow — callers check
-    n_verts <= max_verts (counts are exact).
+    Returns (verts (3, max_verts) world-space, faces (3, max_faces) int32,
+    n_verts, n_faces) — lane-major so TPU tiling doesn't pad a trailing
+    3-dim to 128. Slots beyond the counts hold zeros / degenerate faces.
+    Callers check n_verts <= max_verts (counts are exact).
     """
     D, H, W = vol.shape
     origin = jnp.asarray(origin, jnp.float32)
@@ -136,11 +136,15 @@ def marching_cubes(vol: jnp.ndarray, level: float = 0.0,
     px = (x0 + dx * t) * spacing[0] + origin[0]
     py = (y0 + dy * t) * spacing[1] + origin[1]
     pz = (z0 + dz * t) * spacing[2] + origin[2]
-    verts = jnp.stack([px, py, pz], axis=-1)
     vmask = jnp.arange(max_verts) < n_verts
-    verts = jnp.where(vmask[:, None], verts, 0.0)
+    # (3, V) lane-major: a (V, 3) buffer would tile to (V, 128) on TPU
+    verts = jnp.stack([px, py, pz], axis=0) * vmask[None, :]
 
-    # --- per-cell triangles -------------------------------------------------
+    # --- per-cell triangles (two-stage: compact active cells first) --------
+    # TPU tiling pads the last two dims of every resident tensor to
+    # (8,128): a dense (C, 5, 3) per-cell table for a 9M-cell grid would
+    # tile to ~37 GB. Instead compact the ~O(surface) active cells to a
+    # max_faces-bounded buffer and keep all per-triangle intermediates 1-D.
     Dc, Hc, Wc = D - 1, H - 1, W - 1
     cfg = jnp.zeros((Dc, Hc, Wc), jnp.int32)
     for i, (cx, cy, cz) in enumerate(np.asarray(CORNERS)):
@@ -148,44 +152,57 @@ def marching_cubes(vol: jnp.ndarray, level: float = 0.0,
             inside[cz : cz + Dc, cy : cy + Hc, cx : cx + Wc].astype(jnp.int32) << i
         )
     cfg = cfg.reshape(-1)  # (C,)
-    tri_tab = jnp.asarray(TRI_TABLE.reshape(256, MAX_TRIS, 3))
     ntri_tab = jnp.asarray(N_TRIS)
-    cell_ntri = ntri_tab[cfg]  # (C,)
-    cell_tris = tri_tab[cfg]   # (C, MAX_TRIS, 3) local edge ids (or -1)
+    cell_ntri_all = ntri_tab[cfg]  # (C,)
+    cell_active = cell_ntri_all > 0
+    ccsum = jnp.cumsum(cell_active.astype(jnp.int32))
+    cslots = ccsum - 1
+    A = max_faces  # every active cell emits ≥1 triangle → #active ≤ #faces
+    ctarget = jnp.where(cell_active & (cslots < A), cslots, A)
+    cell_ids = jnp.zeros((A + 1,), jnp.int32).at[ctarget].set(
+        jnp.arange(cfg.shape[0], dtype=jnp.int32), mode="drop")[:A]
+    n_active = ccsum[-1]
+    a_valid = jnp.arange(A) < n_active
 
-    # local edge id → global edge flat index, per cell
-    cz_, cy_, cx_ = jnp.meshgrid(
-        jnp.arange(Dc), jnp.arange(Hc), jnp.arange(Wc), indexing="ij"
-    )
-    cz_ = cz_.reshape(-1)
-    cy_ = cy_.reshape(-1)
-    cx_ = cx_.reshape(-1)
-    eao = jnp.asarray(_EDGE_AXIS_OFFSET)  # (12,4)
+    cfg_a = jnp.where(a_valid, cfg[cell_ids], 0)      # (A,)
+    ntri_a = ntri_tab[cfg_a]                          # (A,)
+    czc = cell_ids // (Hc * Wc)
+    cyc = (cell_ids % (Hc * Wc)) // Wc
+    cxc = cell_ids % Wc
 
-    le = cell_tris  # (C, MAX_TRIS, 3) values in [-1, 12)
+    # flatten the (A, 15) local-edge table lookups to 1-D
+    tri_tab15 = jnp.asarray(TRI_TABLE)                # (256, 15)
+    le = tri_tab15[cfg_a].reshape(-1)                 # (A*15,)
     le_safe = jnp.maximum(le, 0)
+    eao = jnp.asarray(_EDGE_AXIS_OFFSET)              # (12, 4)
+    rep = lambda q: jnp.repeat(q, MAX_TRIS * 3)       # (A,) → (A*15,)
     e_axis = eao[le_safe, 0]
-    gz = cz_[:, None, None] + eao[le_safe, 1]
-    gy = cy_[:, None, None] + eao[le_safe, 2]
-    gx = cx_[:, None, None] + eao[le_safe, 3]
+    gz = rep(czc) + eao[le_safe, 1]
+    gy = rep(cyc) + eao[le_safe, 2]
+    gx = rep(cxc) + eao[le_safe, 3]
     flat_x = (gz * H + gy) * (W - 1) + gx
     flat_y = o_y + (gz * (H - 1) + gy) * W + gx
     flat_z = o_z + (gz * H + gy) * W + gx
     gedge = jnp.where(e_axis == 0, flat_x, jnp.where(e_axis == 1, flat_y, flat_z))
-    tri_vids = slots[gedge]  # (C, MAX_TRIS, 3) vertex slots
+    tri_vids_flat = slots[gedge]                      # (A*15,)
 
-    # compact triangles
-    k = jnp.arange(MAX_TRIS)
-    tri_active = (k[None, :] < cell_ntri[:, None]).reshape(-1)  # (C*MAX_TRIS,)
-    tri_vids = tri_vids.reshape(-1, 3)
+    # triangle compaction (per active cell, k < ntri)
+    k = jnp.arange(MAX_TRIS, dtype=jnp.int32)
+    tri_active = (k[None, :] < ntri_a[:, None]) & a_valid[:, None]  # (A,5)
+    tri_active = tri_active.reshape(-1)               # (A*5,)
     tcsum = jnp.cumsum(tri_active.astype(jnp.int32))
     tslots = tcsum - 1
     n_faces = tcsum[-1]
     ttarget = jnp.where(tri_active & (tslots < max_faces), tslots, max_faces)
-    faces = jnp.zeros((max_faces + 1, 3), jnp.int32).at[ttarget].set(tri_vids, mode="drop")
-    faces = faces[:max_faces]
+    vids3 = tri_vids_flat.reshape(-1, 3)              # (A*5, 3) small last dim,
+    # scattered column-wise to keep every resident buffer 1-D / lane-major
+    fcols = []
+    for c in range(3):
+        col = jnp.zeros((max_faces + 1,), jnp.int32).at[ttarget].set(
+            vids3[:, c], mode="drop")[:max_faces]
+        fcols.append(col)
     fmask = jnp.arange(max_faces) < n_faces
-    faces = jnp.where(fmask[:, None], faces, 0)
+    faces = jnp.stack([jnp.where(fmask, c, 0) for c in fcols], axis=0)  # (3, F)
 
     return verts, faces, n_verts, n_faces
 
@@ -199,4 +216,4 @@ def marching_cubes_np(vol, level=0.0, origin=(0, 0, 0), spacing=(1, 1, 1),
     nf = int(nf)
     if nv > max_verts or nf > max_faces:
         raise ValueError(f"MC overflow: nv={nv}/{max_verts} nf={nf}/{max_faces}")
-    return np.asarray(v[:nv]), np.asarray(f[:nf])
+    return np.asarray(v).T[:nv].copy(), np.asarray(f).T[:nf].copy()

@@ -130,6 +130,7 @@ def main(argv=None):
                 net.cfg.batch_size = conf.get_int(f"train.{phase}.point_render.batch_size")
                 sampler.bs = net.cfg.batch_size
                 net.isfine = phase == "fine"
+                net.on_phase_change()
                 net.mesh = None  # force remesh at the new resolution
                 net.save_checkpoint(osp.join(save_root, f"{phase}_promote.ckpt"), epoch)
                 print(f"[train] enabled {phase} hierarchy")

@@ -35,3 +35,16 @@ import jax as _jax
 # MXU-native bf16 explicitly by casting operands (see ops/ kernels) so the
 # performance-critical path is a deliberate choice, not a silent default.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: per-scene optimization re-uses the same
+# executables across runs/phases, and the axon remote compile of large
+# graphs costs minutes — caching them is a large wall-clock win.
+import os as _os
+
+_cache_dir = _os.environ.get("RECMV_COMPILE_CACHE", "/tmp/recmv_jax_cache")
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # pragma: no cover — cache is best-effort
+    pass

@@ -103,8 +103,12 @@ def def_regularization_loss(jacobians: jnp.ndarray, c: float, valid=None) -> jnp
     eigenvalues of JᵀJ: eigvalsh of a 3x3 batch is cheap on TPU and
     avoids full SVD."""
     JtJ = jnp.einsum("mji,mjk->mik", jacobians, jacobians)
-    # symmetric eigenvalues = σᵢ²; guard for positivity
-    eig = jnp.linalg.eigvalsh(JtJ)
+    # symmetric eigenvalues = σᵢ²; eigvalsh's gradient is NaN at repeated
+    # eigenvalues — and JᵀJ ≈ I exactly at the near-identity init — so add
+    # a tiny *distinct* diagonal jitter to separate them (≤1e-6 relative)
+    scale = jnp.trace(JtJ, axis1=-2, axis2=-1)[..., None, None] / 3.0 + 1e-12
+    jitter = jnp.diag(jnp.asarray([1.0, 2.0, 3.0])) * 1e-6
+    eig = jnp.linalg.eigvalsh(JtJ + jitter * scale)
     logs = 0.5 * jnp.log(jnp.clip(eig, 1e-12, None))
     energy = jnp.sum(logs * logs, -1)
     vals = gm_robust_error(energy, c, True)

@@ -135,6 +135,7 @@ class GarmentOptimNetwork:
         self.vert_opt_state = None
         self._lr_scale = 1.0
         self._jit_cache = {}
+        self._extract_cache = {}
         self._phase_token = 0
         # Large-pose stage (OptimGarmentNetwork_LargePose,
         # OptimGarmentNetwork_Large_Pose.py:120-474): SDFs frozen, curve
@@ -208,25 +209,50 @@ class GarmentOptimNetwork:
     # marching-cube remesh (topology event)
     # ------------------------------------------------------------------
 
+    def _get_extract_fn(self, cfg, static, balance_value):
+        """One jitted executable: seg3d pyramid + marching cubes, with the
+        SDF parameters and ratio as arguments — shared across all SDFs of
+        the same architecture, all remeshes, and both extraction passes.
+        (Running the pyramid eagerly costs ~8 min of per-op dispatch over
+        the axon tunnel; one executable runs it in seconds.)"""
+        key = ("extract", cfg, static, float(balance_value),
+               self.cfg.mc_capacity_v, self.cfg.mc_capacity_f)
+        if key not in self._extract_cache:
+            spacing, origin = final_grid_spacing(cfg)
+
+            @jax.jit
+            def extract(sdf_params, ratio):
+                q = lambda pts: sdf_value(sdf_params, static, pts, ratio)
+                vol = seg3d_forward(q, cfg)
+                return marching_cubes(
+                    vol, balance_value, origin, spacing,
+                    max_verts=self.cfg.mc_capacity_v,
+                    max_faces=self.cfg.mc_capacity_f,
+                )
+
+            self._extract_cache[key] = extract
+        return self._extract_cache[key]
+
     def discretize_sdf(self, ratio, balance_value: float = 0.0, seg3d_cfg=None):
         """Seg3dLossless over each SDF → fixed-capacity meshes
         (discretizeSDF, OptimGarmentNetwork.py:581-618)."""
+        import sys as _sys, time as _t
+
         cfg = seg3d_cfg or self.seg3d_cfg
-        spacing, origin = final_grid_spacing(cfg)
+        r = self._ratio_dict(ratio)["sdfRatio"]
         out = []
         nets = [("body", None)] + [(n, i) for i, n in enumerate(self.statics.garment_names)]
         for name, gi in nets:
             if gi is None:
-                q = lambda pts: sdf_value(self.params["sdf"], self.statics.sdf, pts, ratio)
+                fn = self._get_extract_fn(cfg, self.statics.sdf, balance_value)
+                prm = self.params["sdf"]
             else:
-                q = (lambda gidx: lambda pts: sdf_value(
-                    self.params["garment_sdfs"][gidx], self.statics.garment_sdf, pts, ratio
-                ))(gi)
-            vol = seg3d_forward(q, cfg)
-            v, f, nv, nf = marching_cubes(
-                vol, balance_value, origin, spacing,
-                max_verts=self.cfg.mc_capacity_v, max_faces=self.cfg.mc_capacity_f,
-            )
+                fn = self._get_extract_fn(cfg, self.statics.garment_sdf, balance_value)
+                prm = self.params["garment_sdfs"][gi]
+            _t0 = _t.time()
+            v, f, nv, nf = jax.block_until_ready(fn(prm, r))
+            _sys.stderr.write(f"[net] extract {name}: {_t.time()-_t0:.1f}s "
+                              f"nv={int(nv)}\n"); _sys.stderr.flush()
             out.append((v, f, int(nv), int(nf)))
         return out
 
@@ -240,7 +266,12 @@ class GarmentOptimNetwork:
         across remeshes unless the mesh grows past the slack."""
         from ..geometry.mesh_utils import compute_edges_unique
 
+        import sys as _sys, time as _t
+
+        _sys.stderr.write("[net] remesh: discretizing SDFs...\n"); _sys.stderr.flush()
+        _t0 = _t.time()
         meshes = self.discretize_sdf(ratio, -self.sdf_shrink)
+        _sys.stderr.write(f"[net] remesh done in {_t.time()-_t0:.1f}s\n"); _sys.stderr.flush()
         body = meshes[0]
         garments = meshes[1:]
         assert body[2] > 0, "tmp sdf vanished"
@@ -932,6 +963,9 @@ class GarmentOptimNetwork:
         imgs = jnp.asarray(batch["img"])
         normals = jnp.asarray(batch["normal"]) if "normal" in batch else None
 
+        import sys as _sys
+
+        _sys.stderr.write("[net] phase fl...\n"); _sys.stderr.flush()
         # ① curve branch (zeroed in the large-pose stage — the reference
         # multiplies both curve losses by 0, Large_Pose.py:219)
         if not self.large_pose:
@@ -946,6 +980,7 @@ class GarmentOptimNetwork:
         self.info["t_fl"] = _time.time() - _t0; _t0 = _time.time()
 
         # ② mask branch
+        _sys.stderr.write("[net] phase pc...\n"); _sys.stderr.flush()
         (pc_loss, pc_info), (g_verts, g_pc_global) = fns["pc"](
             gvs, gparams, frame_ids, gt_garment_masks, r, counts)
         new_gvs, self.vert_opt_state = fns["vert_update"](
@@ -956,6 +991,7 @@ class GarmentOptimNetwork:
         self.info["t_pc"] = _time.time() - _t0; _t0 = _time.time()
 
         # rays + surface solve (no grad)
+        _sys.stderr.write("[net] phase rays...\n"); _sys.stderr.flush()
         key = jax.random.PRNGKey(int(self.opt_times)) if key is None else key
         solved, key = fns["rays"](gparams, frame_ids, gt_garment_masks, r, key,
                                   tuple(self.mesh.garment_vs), fs_t)
@@ -970,6 +1006,7 @@ class GarmentOptimNetwork:
         if dct_w > 0 and self.dataset.frame_num > self.dct_null.shape[1]:
             win_ids = jnp.asarray(
                 self._window_ids(np.asarray(frame_ids), self.dct_null.shape[1]))
+        _sys.stderr.write("[net] phase main...\n"); _sys.stderr.flush()
         (m_loss, m_info), g_main = fns["main"](
             gparams, self.params["curves"], solved, frame_ids, imgs, normals,
             tuple(self.mesh.garment_vs), counts, win_ids, r, key)

@@ -92,25 +92,33 @@ def _eval_full_grid(query_fn, cfg: Seg3dConfig, res, stride):
 def _masked_requery(query_fn, cfg, occ, mask, stride, budget, W, H, D):
     """Evaluate the query at up to ``budget`` voxels of ``mask`` (level
     grid (D,H,W)), scatter results into ``occ``. Returns (occ, evaluated
-    dense mask, overflowed_count)."""
+    dense mask, overflowed_count).
+
+    Candidate compaction uses cumsum+scatter (like marching cubes) rather
+    than top_k — a prefix sum beats a 9M-element sort on both TPU compile
+    and run time."""
     flat = mask.reshape(-1)
     n = flat.shape[0]
     budget = min(budget, n)
-    scores = flat.astype(jnp.float32)
-    _, idx = jax.lax.top_k(scores, budget)          # indices of candidates
-    valid = flat[idx]                               # (budget,) bool
+    csum = jnp.cumsum(flat.astype(jnp.int32))
+    slots = csum - 1
+    count = csum[-1]
+    target = jnp.where(flat & (slots < budget), slots, budget)
+    idx = jnp.zeros((budget + 1,), jnp.int32).at[target].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:budget]
+    valid = jnp.arange(budget) < count
     zc = idx // (H * W)
     yc = (idx % (H * W)) // W
     xc = idx % W
     coords = jnp.stack([xc, yc, zc], -1) * stride   # finest-grid coords
     vals = query_fn(_world_coords(cfg, coords))
     occ_flat = occ.reshape(-1)
-    target = jnp.where(valid, idx, n)
-    occ_flat = jnp.zeros((n + 1,), occ.dtype).at[:n].set(occ_flat).at[target].set(
+    vtarget = jnp.where(valid, idx, n)
+    occ_flat = jnp.zeros((n + 1,), occ.dtype).at[:n].set(occ_flat).at[vtarget].set(
         vals, mode="drop"
     )[:n]
-    evaluated = jnp.zeros((n + 1,), bool).at[target].set(True, mode="drop")[:n]
-    overflow = jnp.maximum(flat.sum() - budget, 0)
+    evaluated = jnp.zeros((n + 1,), bool).at[vtarget].set(True, mode="drop")[:n]
+    overflow = jnp.maximum(count - budget, 0)
     return occ_flat.reshape(D, H, W), evaluated.reshape(D, H, W), overflow
 
 

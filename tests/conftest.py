@@ -16,3 +16,42 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_scene_net(tmp_path_factory):
+    """Tiny initialized scene + network shared by the e2e smoke tier and
+    the multi-device parity test: 4-frame 64px synthetic tube scene,
+    2-level MC pyramid, short IGR init (enough for a real MC surface and
+    finite losses in every branch — quality asserts live in the slow
+    tier). Returns (net, dataset, init_ckpt_path); tests that mutate the
+    net must reload the checkpoint first."""
+    from recmv_tpu.config import ConfigFactory
+    from recmv_tpu.core.builder import build_opt_net
+    from recmv_tpu.core.network import TrainConfig
+    from recmv_tpu.data.dataset import get_dataset_and_loader
+    from recmv_tpu.data.synthetic import generate_scene
+
+    scene = str(tmp_path_factory.mktemp("tiny") / "tube")
+    generate_scene(scene, n_frames=4, image_size=64, skinner_res=(17, 25, 9))
+    conf = ConfigFactory.parse_file(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "synthetic",
+                     "smoke.conf"))
+    dataset, sampler = get_dataset_and_loader(
+        scene, {"deformer": 256, "render": 256}, 2, shuffle=False,
+        garment_type="synthetic-tube", data_type="synthe")
+    cfg = TrainConfig(sample_pix=64, point_radius=0.02, remesh_intersect=8,
+                      batch_size=2, image_size=(64, 64),
+                      mc_capacity_v=1 << 12, mc_capacity_f=1 << 13,
+                      raster_tile=16, raster_cap_mesh=128,
+                      raster_cap_points=128, points_per_pixel=4,
+                      solver_times=4, surface_sample=64)
+    net = build_opt_net(conf, dataset, os.path.join(scene, "result"),
+                        resolutions=((7, 9, 5), (13, 17, 9)),
+                        skinner_res=(17, 25, 9), train_cfg=cfg)
+    net.initialize_tmp_sdf(nepochs=8, save_dir=None, fl_iters=2)
+    ckpt = os.path.join(scene, "init.ckpt")
+    net.save_checkpoint(ckpt, 0)
+    return net, dataset, ckpt

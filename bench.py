@@ -1,27 +1,42 @@
 #!/usr/bin/env python
-"""Benchmark: rays/sec/chip on the REC-MV hot loop.
+"""Benchmark: REC-MV hot-loop throughput + end-to-end step metrics.
 
-The hot path of the reference (SURVEY §3.3) is per-ray work: the
-20-iteration surface root-find (SDF MLP + full deformer per iteration,
-``utils/FindSurfacePs.py:273``), the SDF gradient, Jacobian-based ray
-pullback, and the IDR render MLP. This benchmark runs exactly that
-pipeline, jitted, on one chip, and reports rays/sec.
+Primary metric — rays/sec/chip on the per-ray hot path (SURVEY §3.3):
+the 20-iteration surface root-find (SDF MLP + full deformer per
+iteration, reference ``utils/FindSurfacePs.py:273``), SDF gradient,
+Jacobian ray pullback, IDR render MLP, and the backward pass — jitted,
+full-size MLPs (8x512 SDF), measured warm on one chip.
 
-vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
-baseline constant below is the reference's effective ray throughput
-estimated from its configuration — 2048 rays/step at the ~1.5 s/step a
-GTX-3090 sustains on this family of per-scene optimizers (SelfRecon/IDR
-measurements) ≈ 1365 rays/s.
+Extra metrics embedded in the same JSON line:
+- ``mfu_pct``: measured FLOP/s of the hot step (XLA cost analysis) over
+  the chip's peak (bf16 peak for TPU v5e = 197 TFLOP/s; the hot loop
+  runs f32 matmuls, so this is a conservative lower bound).
+- ``fullstep``: production-scale end-to-end step numbers (1080x1080,
+  2048 rays, (321,417,225) pyramid) recorded by
+  ``tools/bench_fullstep.py`` on the real chip — sec/step warm,
+  first-compile wall, remesh time.
+- ``quality``: Chamfer-L2 vs the synthetic scene's gt_meshes recorded by
+  ``tools/bench_quality.py`` (full loop: init → train → extract).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline PROVENANCE: the reference repo publishes no numbers
+(BASELINE.md); ``baseline_rays_per_sec`` is an ESTIMATE of the
+reference's effective ray throughput from its configuration (2048
+rays/step at the ~1.5 s/step a GTX-3090 sustains on this family of
+per-scene optimizers), NOT a measurement — no CUDA GPU exists in this
+environment to measure the reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os.path as osp
 import time
 
 import numpy as np
 
-BASELINE_RAYS_PER_SEC = 1365.0
+BASELINE_RAYS_PER_SEC = 1365.0  # estimate — see module docstring
+TPU_V5E_BF16_PEAK = 197e12
+REPO = osp.dirname(osp.abspath(__file__))
 
 
 def main():
@@ -58,12 +73,9 @@ def main():
     gt_rgb = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 2 - 1)
 
     def deform(prm, pts):
-        c = prm_cond(prm)[batch_inds]
+        c = cond[batch_inds]
         off, _ = translator_apply(prm["translator"], tr_static, pts, c, 1.0)
         return skinner_apply(prm["skinner"], off, poses, trans, batch_inds=batch_inds)
-
-    def prm_cond(prm):
-        return cond
 
     @jax.jit
     def hot_step(prm):
@@ -86,23 +98,56 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(prm)
         return loss, jax.tree_util.tree_map(lambda g: jnp.sum(jnp.abs(g)), grads)
 
-    # warmup/compile
-    out = hot_step(params)
-    jax.block_until_ready(out)
+    # warmup/compile (measured: first-call latency)
+    t0 = time.perf_counter()
+    compiled = hot_step.lower(params).compile()
+    compile_s = time.perf_counter() - t0
+    jax.block_until_ready(compiled(params))
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = hot_step(params)
+        out = compiled(params)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iters
     rays_per_sec = R / dt
+
+    # MFU from XLA's own FLOP count of the compiled hot step
+    mfu = None
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / dt / TPU_V5E_BF16_PEAK * 100.0
+    except Exception:
+        pass
+
+    extra = {
+        "hot_step_ms": round(dt * 1000, 2),
+        "compile_s": round(compile_s, 1),
+        "baseline_provenance": (
+            "ESTIMATE from reference config (2048 rays/step at ~1.5 s/step "
+            "GTX-3090, SelfRecon/IDR family); reference publishes no numbers "
+            "and no CUDA GPU is available here"),
+    }
+    if flops:
+        extra["hot_step_gflops"] = round(flops / 1e9, 1)
+    if mfu is not None:
+        extra["mfu_pct_vs_bf16_peak"] = round(mfu, 2)
+    for name in ("bench_fullstep.json", "bench_quality.json"):
+        p = osp.join(REPO, name)
+        if osp.isfile(p):
+            with open(p) as f:
+                extra[name.replace("bench_", "").replace(".json", "")] = json.load(f)
 
     print(json.dumps({
         "metric": "rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "extra": extra,
     }))
 
 

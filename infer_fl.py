@@ -19,7 +19,7 @@ def parse_args(argv=None):
     p.add_argument("--ckpt", default=None, help="defaults to <save>/latest.ckpt")
     p.add_argument("--out", default=None, help="defaults to <save>/infer")
     p.add_argument("--quality", default="coarse",
-                   choices=["small", "coarse", "medium", "fine"])
+                   choices=["small", "coarse", "medium", "fine", "higher"])
     p.add_argument("--frames", type=int, nargs="*", default=None)
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     p.add_argument("--curves-only", action="store_true",

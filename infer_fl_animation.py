@@ -17,7 +17,7 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     p.add_argument("--quality", default="coarse",
-                   choices=["small", "coarse", "medium", "fine"])
+                   choices=["small", "coarse", "medium", "fine", "higher"])
     args = p.parse_args(argv)
 
     import numpy as np

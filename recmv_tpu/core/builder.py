@@ -46,12 +46,13 @@ def resolution_pyramids(level: str, quality: str = "coarse"):
     """MC grid pyramids (reference train.py:47-79). Each axis satisfies
     res_{k+1} = 2·res_k − 1."""
     base = {
-        "coarse": (15, 21, 9),
-        "medium": (17, 23, 11),
-        "fine": (21, 27, 15),
+        "coarse": (15, 21, 9),     # → (225, 321, 129)
+        "medium": (19, 25, 13),    # → (289, 385, 193)
+        "fine": (21, 27, 15),      # → (321, 417, 225)
+        "higher": (33, 33, 33),    # → (513, 513, 513) inference option
         "small": (9, 13, 7),
     }[level]
-    levels = {"coarse": 4, "medium": 5, "fine": 5, "small": 3}[level]
+    levels = {"coarse": 4, "medium": 4, "fine": 4, "higher": 4, "small": 3}[level]
     out = [tuple(base)]
     for _ in range(levels):
         out.append(tuple(2 * r - 1 for r in out[-1]))

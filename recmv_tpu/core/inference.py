@@ -64,56 +64,115 @@ def visible_vertex_mask(verts, faces, n_views: int = 12, image: int = 512,
     return vis
 
 
+def relabel_boundaries_after_remesh(new_verts, new_faces, old_verts,
+                                    old_boundary_labels: dict):
+    """Re-derive labeled boundary loops on a remeshed garment by KNN
+    label transfer from the old labeled boundary vertices — the exact
+    mechanism of the reference's post-remesh color rebuild
+    (remesh_garment_mesh, garment_structure.py:440-460 knn_points of new
+    boundary verts against old boundary verts)."""
+    loops = boundary_loops(np.asarray(new_faces))
+    if not old_boundary_labels:
+        return {}
+    names = list(old_boundary_labels.keys())
+    old_pts = [np.asarray(old_verts)[np.asarray(old_boundary_labels[n])]
+               for n in names]
+    labels = {}
+    for loop in loops:
+        lv = np.asarray(new_verts)[loop]
+        # majority vote of per-vertex nearest labeled old boundary
+        dmin = np.stack([
+            np.min(np.linalg.norm(lv[:, None] - p[None], axis=-1), axis=1)
+            for p in old_pts])                                 # (C, L)
+        votes = np.bincount(dmin.argmin(0), minlength=len(names))
+        win = names[int(votes.argmax())]
+        if win not in labels or len(loop) > len(labels[win]):
+            labels[win] = loop
+    return labels
+
+
+def remesh_registered(verts, faces, boundary_labels: dict,
+                      target_frac: float = 0.02, subdivide: bool = True):
+    """Isotropic remesh + midpoint subdivision between the NRICP passes
+    (remesh_garment_mesh, OptimGarmentNetwork.py:2445-2481 →
+    pymeshlab isotropic_explicit_remeshing + surface_subdivision_loop,
+    garment_structure.py:441-460), using the native C++ remesher
+    (boundary vertices pinned). Returns (verts, faces, relabeled loops)."""
+    from ..geometry.mesh_utils import subdivide_faces
+    from ..native import isotropic_remesh
+
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(faces, np.int64)
+    diag = float(np.linalg.norm(v.max(0) - v.min(0)))
+    try:
+        nv, nf = isotropic_remesh(v, f, target_len=target_frac * diag, iters=3)
+    except (OSError, ValueError):      # native lib unavailable/overflow
+        nv, nf = v, f
+    if subdivide:
+        nv, nf = subdivide_faces(nv, nf, np.arange(len(nf)))[:2]
+    labels = relabel_boundaries_after_remesh(nv, nf, v, boundary_labels)
+    return nv.astype(np.float32), np.asarray(nf, np.int64), labels
+
+
 def register_garment(template, mc_verts, mc_faces, curves_by_name: dict,
                      save_path: str | None = None,
                      nricp_cfg: NricpConfig | None = None,
-                     refine_cfg: NricpConfig | None = None):
+                     refine_cfg: NricpConfig | None = None,
+                     remesh: bool = True):
     """Register one open template to the closed MC surface
     (OptimGarmentNetwork.py:2445-2481): ① Laplacian-align the template's
-    boundary loops to the optimized 3D curves, ② NRICP onto the visible
-    MC vertices, ③ refine. Returns the registered open mesh (verts, faces).
+    boundary loops to the optimized 3D curves with optimal-assignment
+    correspondences, ② NRICP coarse onto the visible MC vertices,
+    ③ isotropic remesh (+ subdivision), ④ NRICP refine.
+    Returns the registered open mesh (verts, faces).
     """
+    from ..geometry.matching import match_template_boundaries
+
     t_verts = np.asarray(template.verts, np.float32)
     t_faces = np.asarray(template.faces, np.int64)
+    labels = dict(template.boundary_labels)
 
-    # ① curve alignment (Laplacian editing with curve constraints)
-    cids, targets = [], []
-    for cname, loop in template.boundary_labels.items():
-        if cname not in curves_by_name:
-            continue
-        tgt = np.asarray(curves_by_name[cname])
-        lv = t_verts[loop]
-        d = np.linalg.norm(lv[:, None] - tgt[None], axis=-1)
-        cids.append(loop)
-        targets.append(tgt[d.argmin(1)])
-    if cids:
+    # ① curve alignment (Laplacian editing; best_match correspondences)
+    cids, targets = match_template_boundaries(t_verts, labels, curves_by_name)
+    if len(cids):
         t_verts = np.asarray(laplacian_deform(
-            t_verts, t_faces, np.concatenate(cids), np.concatenate(targets),
-            constrain_weight=1.0, smooth=True))
+            t_verts, t_faces, cids, targets, constrain_weight=1.0, smooth=True))
 
-    # ② NRICP onto visible MC verts
+    # ② NRICP coarse onto visible MC verts (reference fl_fit_registry:
+    # epoch 200, stiffness 50→0.1 at 8 milestones, laplacian 250,
+    # normal-cos gate 0.3)
     vis = visible_vertex_mask(mc_verts, mc_faces)
     tgt_normals = vertex_normals(np.asarray(mc_verts), np.asarray(mc_faces))
-    cfg = nricp_cfg or NricpConfig(epochs=60, inner_iter=10, first_inner_iter=60,
-                                   stiffness_weight=(50.0, 20.0, 5.0, 0.8),
-                                   milestones=(15, 30, 45),
-                                   laplacian_weight=(50.0,) * 4, lr=1e-3)
-    static_ids = np.concatenate([l for l in template.boundary_labels.values()]) \
-        if template.boundary_labels else None
-    out_v = nricp_fit(t_verts, t_faces, np.asarray(mc_verts), tgt_normals,
-                      target_mask=vis, static_ids=static_ids, cfg=cfg)
+    cfg = nricp_cfg or NricpConfig(
+        epochs=200, inner_iter=10, first_inner_iter=60,
+        stiffness_weight=(50.0, 20.0, 5.0, 2.0, 0.8, 0.5, 0.35, 0.2, 0.1),
+        milestones=(50, 80, 100, 110, 120, 130, 140, 150),
+        laplacian_weight=(250.0,) * 9, threshold=0.3, lr=1e-3)
 
-    # ③ refine pass
-    rcfg = refine_cfg or NricpConfig(epochs=30, inner_iter=10, first_inner_iter=30,
-                                     stiffness_weight=(5.0, 0.8, 0.3),
-                                     milestones=(10, 20),
-                                     laplacian_weight=(20.0,) * 3, lr=5e-4)
-    out_v = nricp_fit(out_v, t_faces, np.asarray(mc_verts), tgt_normals,
-                      target_mask=vis, static_ids=static_ids, cfg=rcfg)
+    def static_of(lbl):
+        return np.concatenate([np.asarray(l) for l in lbl.values()]) if lbl else None
+
+    out_v = nricp_fit(t_verts, t_faces, np.asarray(mc_verts), tgt_normals,
+                      target_mask=vis, static_ids=static_of(labels), cfg=cfg)
+    out_f = t_faces
+
+    # ③ isotropic remesh + subdivision between the passes
+    if remesh:
+        out_v, out_f, labels = remesh_registered(out_v, out_f, labels)
+
+    # ④ refine pass (fl_refine_registry: epoch 100, stiffness 2→0.1,
+    # milestones 10/20/30/40/80, gate 0.5)
+    rcfg = refine_cfg or NricpConfig(
+        epochs=100, inner_iter=10, first_inner_iter=30,
+        stiffness_weight=(2.0, 0.8, 0.5, 0.35, 0.2, 0.1),
+        milestones=(10, 20, 30, 40, 80),
+        laplacian_weight=(250.0,) * 6, threshold=0.5, lr=5e-4)
+    out_v = nricp_fit(out_v, out_f, np.asarray(mc_verts), tgt_normals,
+                      target_mask=vis, static_ids=static_of(labels), cfg=rcfg)
 
     if save_path:
-        save_obj(save_path, out_v, t_faces)
-    return out_v.astype(np.float32), t_faces
+        save_obj(save_path, out_v, out_f)
+    return out_v.astype(np.float32), out_f, labels
 
 
 class GarmentInference:
@@ -122,14 +181,20 @@ class GarmentInference:
     def __init__(self, net):
         self.net = net
         self.registered = {}
+        self.filter_list = {}   # garment → per-frame stable frame index
 
-    def ensure_registration(self, ratio, save_dir: str | None = None):
-        """Register every garment once (cached as registry_<name>.obj)."""
+    def ensure_registration(self, ratio, save_dir: str | None = None,
+                            sew_waist: bool = True):
+        """Register every garment once (cached as registry_<name>.obj).
+        Two-garment subjects get their waists sewn afterwards
+        (Laplacian_Deform_upper_and_domn_Optimzier parity)."""
         net = self.net
         if net.mesh is None:
             net.marching_cube_update(net._ratio_dict(ratio))
         curves = np.asarray(curves_forward(net.params["curves"], net.curve_statics))
         curves_by_name = {n: curves[i] for i, n in enumerate(net.curve_statics.fl_names)}
+        reg_labels = {}
+        fresh = False
         for gi, gname in enumerate(net.statics.garment_names):
             cache = osp.join(save_dir, f"registry_{gname}.obj") if save_dir else None
             if cache and osp.isfile(cache):
@@ -137,16 +202,91 @@ class GarmentInference:
 
                 self.registered[gname] = load_obj(cache)
                 continue
+            fresh = True
             tmpl = net.garment_templates[gi]
             nv = net.mesh.garment_n[gi]
             nf = net.mesh.garment_fn[gi]
             mc_v = np.asarray(net.mesh.garment_vs[gi])[:nv]
             mc_f = np.asarray(net.mesh.garment_fs[gi])[:nf]
-            self.registered[gname] = register_garment(
+            rv, rf, labels = register_garment(
                 tmpl, mc_v, mc_f,
                 {n: curves_by_name[n] for n in FL_EXTRACT[gname] if n in curves_by_name},
                 save_path=cache)
+            self.registered[gname] = (rv, rf)
+            reg_labels[gname] = labels
+
+        # waist sewing for two-garment subjects: deform the bottom so its
+        # 'upper_bottom' loop lands on the upper's waist loop
+        names = list(net.statics.garment_names)
+        if (sew_waist and fresh and len(names) == 2
+                and all(n in reg_labels for n in names)
+                and all("upper_bottom" in reg_labels[n] for n in names)):
+            from ..geometry.laplacian import sew_upper_bottom
+
+            up_name, bot_name = names[0], names[1]
+            uv, _ = self.registered[up_name]
+            bv, bf = self.registered[bot_name]
+            blab = reg_labels[bot_name]
+            static = np.concatenate([np.asarray(l) for c, l in blab.items()
+                                     if c != "upper_bottom"]) \
+                if len(blab) > 1 else None
+            new_bv = sew_upper_bottom(
+                uv, reg_labels[up_name]["upper_bottom"], bv, bf,
+                blab["upper_bottom"], static_ids=static)
+            self.registered[bot_name] = (new_bv.astype(np.float32), bf)
+            if save_dir:
+                save_obj(osp.join(save_dir, f"registry_{bot_name}.obj"),
+                         new_bv, bf)
         return self.registered
+
+    def offset_filter(self, ratio, chunk: int = 8, sigma: float = 3.0,
+                      outlier_count: int = 500):
+        """Per-frame offset-field outlier filter (offset_filter,
+        OptimGarmentNetwork.py:2519-2560): evaluate each registered
+        garment's non-rigid offsets over all frames, compute the per-
+        vertex mean/variance across time, and flag frames where more
+        than ``outlier_count`` vertices deviate beyond ``sigma``; flagged
+        frames reuse the last stable frame's deformer latent. Returns and
+        stores {garment: [frame index to query per frame]}."""
+        from ..models.translator import translator_apply
+
+        net = self.net
+        r = net._ratio_dict(ratio)
+        scene = net.scene_tree()
+        F = net.dataset.frame_num
+        self.filter_list = {}
+        for gi, gname in enumerate(net.statics.garment_names):
+            rv, _ = self.registered[gname]
+            pts = jnp.asarray(rv)
+            V = pts.shape[0]
+            offs = []
+            for start in range(0, F, chunk):
+                fids = jnp.arange(start, min(start + chunk, F))
+                conds = split_deform_conds(scene["conds"]["deformer"][fids],
+                                           net.statics.garment_size)
+                cond = conds[gi + 1]                       # (n, C)
+                n = cond.shape[0]
+                pb = jnp.broadcast_to(pts, (n, V, 3))
+                cb = jnp.broadcast_to(cond[:, None, :], (n, V, cond.shape[-1]))
+                _, off = translator_apply(net.params["translator"],
+                                          net.statics.translator, pb, cb,
+                                          r["deformerRatio"])
+                offs.append(np.asarray(off))
+            offs = np.concatenate(offs, 0)                 # (F, V, 3)
+            mean = offs.mean(0)
+            var = offs.var(0, ddof=1) + 1e-12
+            query, pre = [0], 0
+            var_mean = var.mean(0, keepdims=True)
+            for i in range(1, F):
+                var_matrix = np.sqrt((offs[i] - mean) ** 2 / var_mean)
+                n_out = (var_matrix > sigma).sum() / 3.0
+                if n_out > outlier_count:
+                    query.append(pre)
+                else:
+                    pre = i
+                    query.append(i)
+            self.filter_list[gname] = query
+        return self.filter_list
 
     def _deform(self, verts, gi, frame_ids, ratio, poses=None, trans=None, cond=None):
         net = self.net
@@ -174,7 +314,18 @@ class GarmentInference:
         outputs = []
         for gi, gname in enumerate(net.statics.garment_names):
             rv, rf = self.registered[gname]
-            posed = self._deform(jnp.asarray(rv), gi, frame_ids, ratio)
+            cond = None
+            if gname in self.filter_list:
+                # substitute outlier frames' deformer latents with the
+                # last stable frame's (offset_filter consumption,
+                # OptimGarmentNetwork.py:2777)
+                cond_ids = np.asarray(self.filter_list[gname])[np.asarray(frame_ids)]
+                scene_f = net.scene_tree()
+                conds_f = split_deform_conds(
+                    scene_f["conds"]["deformer"][jnp.asarray(cond_ids)],
+                    net.statics.garment_size)
+                cond = conds_f[gi + 1]
+            posed = self._deform(jnp.asarray(rv), gi, frame_ids, ratio, cond=cond)
             for k, fid in enumerate(np.asarray(frame_ids)):
                 save_obj(osp.join(out_dir, "meshs", f"{int(fid):04d}_{gname}.obj"),
                          posed[k], rf)

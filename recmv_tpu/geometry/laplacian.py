@@ -66,3 +66,34 @@ def laplacian_deform(verts, faces, constraint_ids, constraint_targets,
         Ls = L.at[jnp.arange(n), jnp.arange(n)].set(0.0)
         new_v = jnp.matmul(Ls, new_v, precision=jax.lax.Precision.HIGHEST)
     return new_v
+
+
+def sew_upper_bottom(upper_verts, upper_waist_ids, bottom_verts, bottom_faces,
+                     bottom_waist_ids, static_ids=None,
+                     constrain_weight: float = 1.0, smooth: bool = True):
+    """Sew a bottom garment's waist boundary onto the upper garment's
+    waist boundary by Laplacian editing of the bottom mesh
+    (``Laplacian_Deform_upper_and_domn_Optimzier``, reference
+    ``engineer/optimizer/lap_deform_optimizer.py:192-300``): the bottom's
+    'upper_bottom' loop is best-matched (optimal assignment) to the
+    upper's waist loop and pulled there; the bottom's other boundary
+    loops (hemline, cuffs) are held static. Needed for every two-garment
+    subject so the skirt/pants waist meets the shirt hem.
+
+    Returns the deformed bottom vertices (N,3) numpy.
+    """
+    from .matching import boundary_curve_best_match
+
+    bv = np.asarray(bottom_verts, np.float32)
+    waist = np.asarray(bottom_waist_ids, np.int64)
+    tgt_loop = np.asarray(upper_verts, np.float32)[np.asarray(upper_waist_ids)]
+    sel, matched = boundary_curve_best_match(bv[waist], tgt_loop)
+    cids = [waist[sel]]
+    targets = [matched]
+    if static_ids is not None and len(static_ids):
+        sid = np.asarray(static_ids, np.int64)
+        cids.append(sid)
+        targets.append(bv[sid])
+    return np.asarray(laplacian_deform(
+        bv, bottom_faces, np.concatenate(cids), np.concatenate(targets),
+        constrain_weight=constrain_weight, smooth=smooth))

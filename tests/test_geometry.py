@@ -184,3 +184,92 @@ class TestNricp:
         d_before = float(chamfer_distance(jnp.asarray(sv), jnp.asarray(tv)))
         d_after = float(chamfer_distance(jnp.asarray(out, jnp.float32), jnp.asarray(tv)))
         assert d_after < d_before * 0.35, (d_before, d_after)
+
+
+class TestMatching:
+    def test_best_match_identity(self):
+        from recmv_tpu.geometry.matching import boundary_curve_best_match
+
+        ang = np.linspace(0, 2 * np.pi, 40, endpoint=False)
+        loop = np.stack([np.cos(ang), np.zeros(40), np.sin(ang)], 1)
+        # target: same ring, rotated sampling + slight noise
+        tgt = np.roll(loop, 7, axis=0) + 0.01
+        sel, matched = boundary_curve_best_match(loop, tgt)
+        # every source point matched to its (noisy) counterpart
+        assert len(sel) == 40
+        d = np.linalg.norm(loop[sel] - matched, axis=-1)
+        assert float(d.max()) < 0.2
+
+    def test_best_match_beats_nearest_on_offset_loops(self):
+        """Shifted loops: naive nearest-point matching collapses many
+        sources onto the near side; optimal assignment keeps a bijection."""
+        from recmv_tpu.geometry.matching import boundary_curve_best_match
+
+        ang = np.linspace(0, 2 * np.pi, 60, endpoint=False)
+        src = np.stack([np.cos(ang), np.zeros(60), np.sin(ang)], 1)
+        tgt = src * 0.8 + np.asarray([0.35, 0.0, 0.0])  # smaller, shifted
+        sel, matched = boundary_curve_best_match(src, tgt, similarity_gate=0.5)
+        # the assignment must be injective on the target side
+        keys = [tuple(np.round(m, 6)) for m in matched]
+        assert len(set(keys)) == len(keys)
+
+    def test_match_template_boundaries(self):
+        from recmv_tpu.geometry.matching import match_template_boundaries
+
+        v, f = open_cylinder()
+        loops = boundary_loops(f)
+        labels = {"neck": loops[0], "bottom_curve": loops[1]}
+        curves = {
+            "neck": v[loops[0]] * 1.1,
+            "bottom_curve": v[loops[1]] * 1.1,
+        }
+        cids, tgts = match_template_boundaries(v, labels, curves)
+        assert len(cids) == len(tgts) > 0
+        # matched targets near the corresponding scaled loop
+        d = np.linalg.norm(v[cids] * 1.1 - tgts, axis=-1)
+        assert float(np.median(d)) < 0.3
+
+
+class TestSewUpperBottom:
+    def test_waist_sewn(self):
+        """An upper tube and a displaced bottom tube: after sewing, the
+        bottom's waist loop lies on the upper's waist loop while the
+        bottom hemline stays put (lap_deform_optimizer.py:192-300)."""
+        from recmv_tpu.geometry.laplacian import sew_upper_bottom
+
+        uv, uf = open_cylinder(n_ring=16, n_h=6, r=0.5, h=1.0)
+        bv, bf = open_cylinder(n_ring=16, n_h=6, r=0.55, h=1.0)
+        bv = bv + np.asarray([0.08, -1.15, 0.02])  # below + offset
+        u_loops = boundary_loops(uf)
+        b_loops = boundary_loops(bf)
+        # upper's bottom loop (y=0) = waist; bottom's top loop = waist
+        u_waist = min(u_loops, key=lambda l: uv[l, 1].mean())
+        b_waist = max(b_loops, key=lambda l: bv[l, 1].mean())
+        b_hem = min(b_loops, key=lambda l: bv[l, 1].mean())
+        hem_before = bv[b_hem].copy()
+
+        out = sew_upper_bottom(uv, u_waist, bv, bf, b_waist,
+                               static_ids=b_hem, constrain_weight=10.0,
+                               smooth=False)
+        # waist loop pulled onto the upper's waist ring
+        d = np.min(np.linalg.norm(out[b_waist][:, None] - uv[u_waist][None],
+                                  axis=-1), axis=1)
+        assert float(d.mean()) < 0.06, d.mean()
+        # hemline stayed (static constraint)
+        np.testing.assert_allclose(out[b_hem], hem_before, atol=0.05)
+
+
+class TestRemeshRelabel:
+    def test_remesh_registered_keeps_labeled_loops(self):
+        from recmv_tpu.core.inference import remesh_registered
+
+        v, f = open_cylinder(n_ring=24, n_h=10)
+        loops = boundary_loops(f)
+        top = max(loops, key=lambda l: v[l, 1].mean())
+        bot = min(loops, key=lambda l: v[l, 1].mean())
+        labels = {"neck": top, "bottom_curve": bot}
+        nv, nf, nlabels = remesh_registered(v, f, labels, subdivide=True)
+        assert len(nf) > len(f)  # subdivision grew the mesh
+        assert set(nlabels) == {"neck", "bottom_curve"}
+        # relabeled loops sit at the right heights
+        assert nv[nlabels["neck"], 1].mean() > nv[nlabels["bottom_curve"], 1].mean()

@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Chamfer drift harness: full loop on the synthetic scene.
+
+Generates a synthetic scene (GT garment meshes known per frame), runs
+the REAL pipeline — IGR/curve init → three-branch optimization steps →
+template registration (Laplacian + NRICP + remesh) → per-frame posed
+garment export — and reports per-frame Chamfer-L2 of the exported
+garments vs ``gt_meshes/`` (BASELINE.md's quality axis; the reference's
+eval protocol via ``tools/fitting_garment_meshes.py`` + paper tables).
+
+Writes ``bench_quality.json`` (embedded by ``bench.py``).
+
+Usage:
+  python tools/bench_quality.py --platform cpu --quick       # CI scale
+  python tools/bench_quality.py --platform axon --image 512  # real run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    ap.add_argument("--image", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=24)
+    ap.add_argument("--init-epochs", type=int, default=120)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny scale for CI (64px, few steps)")
+    ap.add_argument("--scene", default="/tmp/recmv_quality_scene")
+    ap.add_argument("--out", default=osp.join(REPO, "bench_quality.json"))
+    args = ap.parse_args(argv)
+    if args.quick:
+        args.image, args.frames, args.steps = 64, 4, 6
+        args.init_epochs = 60
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    import recmv_tpu  # noqa: F401
+    from recmv_tpu.config import ConfigFactory
+    from recmv_tpu.core.builder import build_opt_net
+    from recmv_tpu.core.inference import GarmentInference
+    from recmv_tpu.core.network import TrainConfig
+    from recmv_tpu.data.dataset import get_dataset_and_loader
+    from recmv_tpu.data.synthetic import generate_scene
+    from recmv_tpu.geometry.nricp import NricpConfig
+    from recmv_tpu.ops.knn import chamfer_distance
+    from recmv_tpu.utils.io import load_obj
+
+    scene = f"{args.scene}_{args.image}_{args.frames}"
+    if not osp.isfile(osp.join(scene, "camera.npz")):
+        generate_scene(scene, n_frames=args.frames, image_size=args.image,
+                       skinner_res=(33, 57, 17))
+
+    conf = ConfigFactory.parse_file(
+        osp.join(REPO, "configs", "synthetic", "smoke.conf"))
+    dataset, sampler = get_dataset_and_loader(
+        scene, {"deformer": 256, "render": 256}, 2, shuffle=True,
+        garment_type="synthetic-tube", data_type="synthe")
+    small = args.image <= 128
+    cfg = TrainConfig(
+        sample_pix=256 if small else 1024,
+        point_radius=0.02 if small else 0.008,
+        remesh_intersect=8, batch_size=2,
+        image_size=(args.image, args.image),
+        mc_capacity_v=1 << 14, mc_capacity_f=1 << 15,
+        raster_tile=16 if small else 32,
+        raster_cap_mesh=256, raster_cap_points=256,
+        points_per_pixel=8, solver_times=10, surface_sample=512)
+    res = ((9, 13, 7), (17, 25, 13), (33, 49, 25), (65, 97, 49))
+    net = build_opt_net(conf, dataset, osp.join(scene, "result"),
+                        resolutions=res, skinner_res=(33, 57, 17),
+                        train_cfg=cfg)
+    t0 = time.time()
+    init_ckpt = osp.join(scene, "result", "quality_init.ckpt")
+    if osp.isfile(init_ckpt):
+        net.load_checkpoint(init_ckpt)
+    else:
+        net.initialize_tmp_sdf(nepochs=args.init_epochs, save_dir=None,
+                               fl_iters=40)
+        net.save_checkpoint(init_ckpt, 0)
+    t_init = time.time() - t0
+
+    ratio = {"sdfRatio": 1.0, "deformerRatio": 0.5, "renderRatio": 1.0}
+    key = jax.random.PRNGKey(0)
+    steps = 0
+    t0 = time.time()
+    import jax.random as jr
+
+    while steps < args.steps:
+        for fids in sampler:
+            batch = dataset.get_batch(fids)
+            ratio["deformerRatio"] = net.opt_times / 2500.0 + 0.5
+            key, sub = jr.split(key)
+            loss, info = net.train_step(batch, fids, ratio, sub)
+            steps += 1
+            if steps >= args.steps:
+                break
+    t_train = time.time() - t0
+
+    # registration + per-frame export
+    inf = GarmentInference(net)
+    out_dir = osp.join(scene, "result", "infer")
+    quick_cfg = NricpConfig(epochs=30, inner_iter=10, first_inner_iter=40,
+                            stiffness_weight=(50.0, 5.0, 0.8, 0.2),
+                            milestones=(8, 16, 24),
+                            laplacian_weight=(250.0,) * 4, threshold=0.3)
+    refine_cfg = NricpConfig(epochs=15, inner_iter=10, first_inner_iter=10,
+                             stiffness_weight=(0.8, 0.2), milestones=(8,),
+                             laplacian_weight=(250.0,) * 2, threshold=0.5,
+                             lr=5e-4)
+    from recmv_tpu.core import inference as inf_mod
+
+    orig = inf_mod.register_garment
+
+    def quick_register(*a, **kw):
+        kw.setdefault("nricp_cfg", quick_cfg)
+        kw.setdefault("refine_cfg", refine_cfg)
+        return orig(*a, **kw)
+
+    inf_mod.register_garment = quick_register
+    try:
+        t0 = time.time()
+        inf.ensure_registration(ratio, out_dir)
+        t_reg = time.time() - t0
+        inf.infer_garment(np.arange(dataset.frame_num), ratio, out_dir)
+    finally:
+        inf_mod.register_garment = orig
+
+    # per-frame chamfer vs gt
+    import glob
+
+    dists = []
+    for fid in range(dataset.frame_num):
+        gp = osp.join(scene, "gt_meshes", f"{fid}.npz")
+        cands = glob.glob(osp.join(out_dir, "meshs", f"{fid:04d}_*.obj"))
+        if not osp.isfile(gp) or not cands:
+            continue
+        gt = np.load(gp)["verts"]
+        pred = np.concatenate([load_obj(c)[0] for c in cands], 0)
+        dists.append(float(chamfer_distance(jnp.asarray(pred, jnp.float32),
+                                            jnp.asarray(gt))))
+    dev = jax.devices()[0]
+    out = {
+        "config": {"image": args.image, "frames": args.frames,
+                   "steps": args.steps, "init_epochs": args.init_epochs,
+                   "pyramid": list(res[-1])},
+        "device": str(dev), "platform": dev.platform,
+        "chamfer_l2_per_frame": [round(d, 6) for d in dists],
+        "chamfer_l2_mean": round(float(np.mean(dists)), 6),
+        "t_init_s": round(t_init, 1), "t_train_s": round(t_train, 1),
+        "t_registration_s": round(t_reg, 1),
+        "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -29,13 +29,17 @@ def parse_args(argv=None):
     p.add_argument("--a-pose", action="store_true", default=True)
     p.add_argument("--no-a-pose", dest="a_pose", action="store_false")
     p.add_argument("--quality", default="coarse",
-                   choices=["small", "coarse", "medium", "fine"],
+                   choices=["small", "coarse", "medium", "fine", "higher"],
                    help="marching-cube pyramid size")
     p.add_argument("--init-epochs", type=int, default=None,
                    help="override SDF init epochs (reference initial_iters)")
     p.add_argument("--max-steps", type=int, default=None,
                    help="cap optimization steps (smoke tests)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-debug", action="store_true",
+                   help="write debug overlays (projected curves, mask "
+                        "comparisons, mesh turntables) at remesh cadence "
+                        "(reference save_debug/visualize_curve_mesh)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a JAX platform (the axon plugin ignores "
                         "JAX_PLATFORMS, so use this flag)")
@@ -145,6 +149,12 @@ def main(argv=None):
             t0 = time.time()
             loss, info = net.train_step(batch, fids, ratio, sub)
             steps += 1
+            if args.save_debug and info.get("t_remesh", 0.0) > 0.5:
+                from recmv_tpu.utils.debug_vis import save_debug, turntable_curve_mesh
+
+                dbg = osp.join(save_root, "debug")
+                save_debug(net, batch, fids, ratio, dbg, step=steps)
+                turntable_curve_mesh(net, ratio, dbg, step=steps)
             msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(info.items())
                            if isinstance(v, float))
             print(f"[{garment_type}] ep{epoch} step{steps} loss={loss:.5f} "

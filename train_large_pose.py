@@ -22,7 +22,7 @@ def main(argv=None):
     p.add_argument("--resume", default=None,
                    help="defaults to <save>/latest.ckpt (the a-pose fit)")
     p.add_argument("--quality", default="coarse",
-                   choices=["small", "coarse", "medium", "fine"])
+                   choices=["small", "coarse", "medium", "fine", "higher"])
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--start-epoch", type=int, default=60)
     p.add_argument("--seed", type=int, default=0)

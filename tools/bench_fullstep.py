@@ -51,12 +51,19 @@ def main(argv=None):
     ap.add_argument("--init-epochs", type=int, default=40)
     ap.add_argument("--scene", default="/tmp/recmv_bench_scene")
     ap.add_argument("--out", default=osp.join(REPO, "bench_fullstep.json"))
+    ap.add_argument("--cache-dir", default="/tmp/recmv_jax_cache",
+                    help="persistent XLA compilation cache (first_step_s "
+                         "reflects cold compiles only on the first ever run)")
     args = ap.parse_args(argv)
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.cache_dir:
+        os.makedirs(args.cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import recmv_tpu  # noqa: F401
     from recmv_tpu.config import ConfigFactory
@@ -135,9 +142,15 @@ def main(argv=None):
                 phases.setdefault(k, []).append(v)
         print(f"[bench] warm step {s}: {dt:.2f}s", flush=True)
 
+    # warm remesh (the first-step remesh paid the extract compiles)
+    t0 = time.time()
+    net.marching_cube_update(net._ratio_dict(ratio))
+    remesh_warm_s = time.time() - t0
+    print(f"[bench] warm remesh {remesh_warm_s:.2f}s", flush=True)
+
     sec_per_step = float(np.mean(warm))
     # effective amortized step incl. remesh every remesh_intersect steps
-    amortized = sec_per_step + remesh_s / cfg.remesh_intersect
+    amortized = sec_per_step + remesh_warm_s / cfg.remesh_intersect
     out = {
         "config": {
             "image": args.image, "sample_pix": args.sample_pix,
@@ -149,7 +162,8 @@ def main(argv=None):
         "first_step_s": round(first_step, 2),
         "sec_per_step": round(sec_per_step, 3),
         "sec_per_step_amortized": round(amortized, 3),
-        "remesh_s": round(remesh_s, 2),
+        "remesh_first_s": round(remesh_s, 2),
+        "remesh_warm_s": round(remesh_warm_s, 2),
         "phase_means_s": {k: round(float(np.mean(v)), 3)
                           for k, v in phases.items()},
         "rays_per_step": args.sample_pix,

@@ -191,6 +191,17 @@ class GarmentInference:
         net = self.net
         if net.mesh is None:
             net.marching_cube_update(net._ratio_dict(ratio))
+        if not getattr(net, "garment_templates", None):
+            # rebuild templates from the A-pose body (the reference's
+            # registration calls init_template + garment_by_init_smpl +
+            # dense_boundary fresh each time, OptimGarmentNetwork.py:2388)
+            from ..models.garment import garment_templates_from_body
+
+            tmpls = garment_templates_from_body(
+                net.statics.garment_names, np.asarray(net.tmp_body_vs),
+                np.asarray(net.tmp_body_fs),
+                np.asarray(net.params["skinner"].Js), None)
+            net.garment_templates = [t.dense_boundary(2) for t in tmpls]
         curves = np.asarray(curves_forward(net.params["curves"], net.curve_statics))
         curves_by_name = {n: curves[i] for i, n in enumerate(net.curve_statics.fl_names)}
         reg_labels = {}

@@ -54,9 +54,8 @@ from ..models.translator import translator_apply
 from ..ops.marching_cubes import marching_cubes
 from ..ops.math3d import dct_null_space
 from ..ops.rasterizer import (
-    alpha_composite,
+    composite_points,
     rasterize_mesh,
-    rasterize_points,
     screen_with_cam_z,
 )
 from ..ops.seg3d import Seg3dConfig, final_grid_spacing, seg3d_forward
@@ -556,22 +555,22 @@ class GarmentOptimNetwork:
         info = {}
         mgt_list = [L.max_pool_mask(m, radius_px) for m in gt_garment_masks]
 
+        # per-garment section one-hots as feature channels: one fused
+        # composite pass renders every garment's soft mask at once
+        # (identical to the reference's per-section zero_mask renders)
+        sections = jnp.concatenate([
+            jax.nn.one_hot(jnp.full((caps[s],), s), len(caps))
+            for s in range(len(caps))
+        ])  # (ΣcapV, G)
+
         def render_frame(pts_f):
             scr = screen_with_cam_z(cam, pts_f)
             # hide padding points behind the camera
             scr = jnp.where(valid_all[:, None], scr, jnp.asarray([0.0, 0.0, -1.0]))
-            frag = rasterize_points(scr, radius, (H, W),
-                                    points_per_pixel=self.cfg.points_per_pixel,
-                                    tile=self.cfg.raster_tile,
-                                    cap=self.cfg.raster_cap_points)
-            imgs = []
-            for sec in range(len(caps)):
-                zero_mask = jnp.concatenate([
-                    jnp.full((caps[s],), s == sec) for s in range(len(caps))
-                ])
-                imgs.append(alpha_composite(frag, radius, jnp.ones((all_def.shape[1], 1)),
-                                            zero_mask=zero_mask)[..., 0])
-            return jnp.stack(imgs)  # (G, H, W)
+            img = composite_points(scr, radius, sections, (H, W),
+                                   tile=self.cfg.raster_tile,
+                                   cap=self.cfg.raster_cap_points)
+            return jnp.moveaxis(img, -1, 0)  # (G, H, W)
 
         masks = jax.lax.map(render_frame, all_def)  # (N, G, H, W)
 
@@ -1159,8 +1158,8 @@ class GarmentOptimNetwork:
             loss, aux = L.igr_init_loss(vals, grads_s, grads_o, nrm)
             return loss, aux
 
-        @jax.jit
-        def epoch(params, opt_state, key):
+        def epoch_body(carry, _):
+            params, opt_state, key = carry
             key, ks = jax.random.split(key)
             perm = jax.random.permutation(ks, V)
             evs = verts[perm[: nb * bs]].reshape(nb, bs, 3)
@@ -1178,12 +1177,26 @@ class GarmentOptimNetwork:
 
             (params, opt_state, key), ls = jax.lax.scan(
                 body, (params, opt_state, key), (evs, ens))
+            return (params, opt_state, key), ls[-1]
+
+        # chunk epochs into one jitted scan per call: per-call dispatch
+        # costs ~seconds over the axon tunnel, and the 1200-epoch
+        # production fit would otherwise pay it 1200 times
+        CHUNK = 50
+
+        @partial(jax.jit, static_argnames=("n",))
+        def epochs(params, opt_state, key, n):
+            (params, opt_state, key), ls = jax.lax.scan(
+                epoch_body, (params, opt_state, key), None, length=n)
             return params, opt_state, key, ls[-1]
 
         key = jax.random.PRNGKey(seed)
         last = None
-        for ep in range(nepochs):
-            params, opt_state, key, last = epoch(params, opt_state, key)
+        done = 0
+        while done < nepochs:
+            n = min(CHUNK, nepochs - done)
+            params, opt_state, key, last = epochs(params, opt_state, key, n)
+            done += n
         if which == "sdf":
             self.params["sdf"] = params
         else:
@@ -1264,28 +1277,34 @@ class GarmentOptimNetwork:
         T = jnp.zeros((C, 3))
         s = jnp.asarray([INI_FL_SCALE.get(n, 1.5) for n in fl_names], jnp.float32)
         optT = optax.adam(lr)
-        stT = optT.init(T)
-
-        @jax.jit
-        def stepT(T, st, s):
-            g = jax.grad(proj_loss, argnums=0)(T, s)
-            u, st = optT.update(g, st, T)
-            return optax.apply_updates(T, u), st
-
-        for _ in range(n_iters):
-            T, stT = stepT(T, stT, s)
-
         optS = optax.adam(lr)
-        stS = optS.init(s)
 
-        @jax.jit
-        def stepS(s, st, T):
-            g = jax.grad(proj_loss, argnums=1)(T, s)
-            u, st = optS.update(g, st, s)
-            return optax.apply_updates(s, u), st
+        # both stages as single jitted scans (one dispatch each instead
+        # of n_iters round trips over the axon tunnel)
+        @partial(jax.jit, static_argnames=("n",))
+        def fitT(T, s, n):
+            def step(carry, _):
+                T, st = carry
+                g = jax.grad(proj_loss, argnums=0)(T, s)
+                u, st = optT.update(g, st, T)
+                return (optax.apply_updates(T, u), st), None
 
-        for _ in range(n_iters):
-            s, stS = stepS(s, stS, T)
+            (T, _), _ = jax.lax.scan(step, (T, optT.init(T)), None, length=n)
+            return T
+
+        @partial(jax.jit, static_argnames=("n",))
+        def fitS(s, T, n):
+            def step(carry, _):
+                s, st = carry
+                g = jax.grad(proj_loss, argnums=1)(T, s)
+                u, st = optS.update(g, st, s)
+                return (optax.apply_updates(s, u), st), None
+
+            (s, _), _ = jax.lax.scan(step, (s, optS.init(s)), None, length=n)
+            return s
+
+        T = fitT(T, s, n_iters)
+        s = fitS(s, T, n_iters)
 
         if cache_path:
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
@@ -1403,6 +1422,14 @@ class GarmentOptimNetwork:
             state["curve_statics"] = jax.tree_util.tree_map(
                 np.asarray, jax.tree_util.tree_flatten(self.curve_statics)[0])
             state["curve_fl_names"] = tuple(self.curve_statics.fl_names)
+        if getattr(self, "garment_templates", None):
+            state["garment_templates"] = [
+                {"name": t.name, "verts": np.asarray(t.verts),
+                 "faces": np.asarray(t.faces),
+                 "boundary_labels": {k: np.asarray(v)
+                                     for k, v in t.boundary_labels.items()}}
+                for t in self.garment_templates
+            ]
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "wb") as f:
             pickle.dump(state, f)
@@ -1426,6 +1453,14 @@ class GarmentOptimNetwork:
         if "curve_statics" in state:
             leaves = [jnp.asarray(x) for x in state["curve_statics"]]
             self.curve_statics = CurveStatics(*leaves, fl_names=state["curve_fl_names"])
+        if "garment_templates" in state:
+            from ..models.garment import GarmentTemplate
+
+            self.garment_templates = [
+                GarmentTemplate(d["name"], d["verts"], d["faces"],
+                                dict(d["boundary_labels"]))
+                for d in state["garment_templates"]
+            ]
         self.opt_times = state.get("opt_times", 0.0)
         self._init_global_opt()
         return state["epoch"]

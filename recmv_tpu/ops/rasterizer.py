@@ -173,6 +173,123 @@ def alpha_composite(frag: PointFragments, radius: float, features: jnp.ndarray,
     return jnp.einsum("hwk,hwkc->hwc", w * trans, f)
 
 
+@partial(jax.jit, static_argnames=("image_size", "tile", "sub", "cap", "sub_cap"))
+def composite_points(pts: jnp.ndarray, radius: float, features: jnp.ndarray,
+                     image_size, tile: int = 32, sub: int = 8,
+                     cap: int = 768, sub_cap: int = 128) -> jnp.ndarray:
+    """Fused point rasterization + alpha compositing → (H, W, C).
+
+    Same semantics as ``alpha_composite(rasterize_points(...))`` with
+    unbounded points_per_pixel, engineered for the TPU's weak spots
+    (sorts and gathers — the fragment path spends ~1.7 s/step at 1080²
+    on the per-pixel top_k and the (H, W, K) feature gather):
+
+    1. per tile row: bbox binning → ≤cap candidates per 32² tile,
+    2. ONE z-sort of each tile's candidate list (front-to-back),
+    3. stable prefix-sum compaction into 8² subtiles (≤sub_cap each;
+       stability preserves the z order — no further sorting),
+    4. per pixel: masked over-compositing across ALL inside-radius
+       candidates (cumprod along the z-ordered axis; no top_k, no
+       K-buffers, features gathered once per subtile).
+
+    Per-garment mask splits (the reference's PointsRendererWithFrags_Split
+    zeroing, ``model/CameraMine.py:347-415``) become feature channels:
+    pass section one-hots as ``features`` and read one composited mask
+    per channel — mathematically identical to per-section zero_mask
+    composites. Overflowing candidates beyond the caps are dropped
+    farthest-last (z-sorted), like pytorch3d's bin overflow."""
+    H, W = image_size
+    P, C = features.shape
+    ndc_scale = 2.0 / min(H, W)
+    r_pix = radius / ndc_scale
+    Ht = -(-H // tile)
+    Wt = -(-W // tile)
+    ns = tile // sub                      # subtiles per tile side
+
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    valid = z > 0
+    tx0 = jnp.floor((x - r_pix) / tile).astype(jnp.int32)
+    tx1 = jnp.floor((x + r_pix) / tile).astype(jnp.int32)
+    ty0 = jnp.floor((y - r_pix) / tile).astype(jnp.int32)
+    ty1 = jnp.floor((y + r_pix) / tile).astype(jnp.int32)
+
+    px_local = jnp.arange(sub)
+
+    def do_tile_row(ty):
+        row_hit = valid & (ty0 <= ty) & (ty1 >= ty)
+        tx = jnp.arange(Wt)
+        hit = row_hit[None, :] & (tx0[None, :] <= tx[:, None]) & (tx1[None, :] >= tx[:, None])
+        # bin: nearest-by-z first — this single top_k doubles as the
+        # front-to-back sort of each tile's candidate list
+        score = jnp.where(hit, -z[None, :], -jnp.inf)
+        _, pidx = jax.lax.top_k(score, min(cap, P))          # (Wt, cap) z-asc
+        pvalid = jnp.take_along_axis(hit, pidx, axis=1)
+
+        def do_tile(tx_i, pidx_t, pvalid_t):
+            cx = x[pidx_t]
+            cy = y[pidx_t]
+            cz = z[pidx_t]
+            feat = features[pidx_t] * pvalid_t[:, None]      # (cap, C)
+
+            # subtile assignment (stable compaction keeps z order)
+            sx = jnp.arange(ns)
+            sy = jnp.arange(ns)
+            sub_x0 = (tx_i * tile + sx * sub).astype(jnp.float32)
+            sub_y0 = (ty * tile + sy * sub).astype(jnp.float32)
+            inx = ((cx[None, :] >= sub_x0[:, None] - r_pix - 0.5)
+                   & (cx[None, :] <= sub_x0[:, None] + sub - 1 + r_pix + 0.5))
+            iny = ((cy[None, :] >= sub_y0[:, None] - r_pix - 0.5)
+                   & (cy[None, :] <= sub_y0[:, None] + sub - 1 + r_pix + 0.5))
+            smask = (iny[:, None, :] & inx[None, :, :]
+                     & pvalid_t[None, None, :]).reshape(ns * ns, -1)
+
+            csum = jnp.cumsum(smask.astype(jnp.int32), axis=1)
+            slots = csum - 1
+            target = jnp.where(smask & (slots < sub_cap), slots, sub_cap)
+            src = jnp.broadcast_to(jnp.arange(smask.shape[1]), smask.shape)
+            sel = jnp.full((ns * ns, sub_cap + 1), smask.shape[1], jnp.int32)
+            sel = jax.vmap(lambda s, t, v: s.at[t].set(v, mode="drop"))(
+                sel, target, src)[:, :sub_cap]               # (ns², sub_cap)
+            sgot = sel < smask.shape[1]
+            sel = jnp.where(sgot, sel, 0)
+
+            scx = jnp.take(cx, sel)                          # (ns², sub_cap)
+            scy = jnp.take(cy, sel)
+            scz = jnp.take(cz, sel)
+            sfeat = feat[sel] * sgot[..., None]              # (ns², sub_cap, C)
+
+            # pixel grid per subtile: (ns², sub, sub)
+            pxg = (sub_x0[None, :, None] + px_local[None, None, :])  # (1, ns, sub)
+            pyg = (sub_y0[:, None, None] + px_local[None, None, :])  # (ns, 1, sub)
+            pxg = jnp.broadcast_to(pxg, (ns, ns, sub)).reshape(ns * ns, 1, sub)
+            pyg = jnp.broadcast_to(pyg, (ns, ns, sub)).reshape(ns * ns, sub, 1)
+
+            d2 = ((pxg[:, None, :, :] - scx[:, :, None, None]) ** 2
+                  + (pyg[:, None, :, :] - scy[:, :, None, None]) ** 2)
+            # (ns², sub_cap, sub, sub) in z order along axis 1
+            w = jnp.clip(1.0 - d2 * (ndc_scale ** 2) / (radius * radius),
+                         0.0, 1.0)
+            w = w * sgot[:, :, None, None]
+            trans = jnp.cumprod(1.0 - w + 1e-10, axis=1)
+            trans = jnp.concatenate(
+                [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=1)
+            img = jnp.einsum("skyx,skc->syxc", w * trans, sfeat)
+            # (ns², sub, sub, C) → (tile, tile, C)
+            img = img.reshape(ns, ns, sub, sub, C)
+            img = jnp.moveaxis(img, 2, 1).reshape(tile, tile, C)
+            return img
+
+        return jax.vmap(do_tile)(jnp.arange(Wt), pidx, pvalid)
+
+    # remat: without it the scan over tile rows saves every row's
+    # (ns², sub_cap, sub, sub) compositing intermediates for the backward
+    # pass — ~13 GB at 1080². Recomputing a row forward is ~2x cheaper
+    # than spilling it to HBM anyway.
+    out = jax.lax.map(jax.checkpoint(do_tile_row), jnp.arange(Ht))
+    out = jnp.moveaxis(out, 2, 1).reshape(Ht * tile, Wt * tile, C)
+    return out[:H, :W]
+
+
 # ---------------------------------------------------------------------------
 # Mesh rasterization
 # ---------------------------------------------------------------------------

@@ -2,12 +2,17 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
 def save_obj(path: str, verts, faces, colors=None):
     verts = np.asarray(verts)
     faces = np.asarray(faces)
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(path, "w") as f:
         if colors is not None:
             colors = np.asarray(colors)

@@ -193,7 +193,6 @@ class TestEndToEndFull:
 
         from recmv_tpu.core.inference import GarmentInference
         from recmv_tpu.geometry.nricp import NricpConfig
-        from recmv_tpu.ops.knn import chamfer_distance
 
         net, dataset, _ = net_and_data
         inf = GarmentInference(net)
@@ -223,8 +222,14 @@ class TestEndToEndFull:
             nricp_cfg=quick, refine_cfg=rquick, remesh=True)
         assert len(rv) > len(net.garment_templates[0].verts)  # remesh ran
         assert labels  # boundary labels survived the remesh
-        d = float(chamfer_distance(jnp.asarray(rv), jnp.asarray(mc_v)))
-        assert d < 0.01, d  # registered template hugs the MC surface
+        # one-sided: every registered vertex lies on the MC surface (the
+        # symmetric chamfer would count the closed MC tube's inner wall
+        # and caps, which an open template can never cover)
+        from recmv_tpu.ops.knn import knn
+
+        d2, _ = knn(jnp.asarray(rv), jnp.asarray(mc_v), 1)
+        mean_d = float(jnp.mean(jnp.sqrt(d2)))
+        assert mean_d < 0.02, mean_d  # ~2 cm at body scale, quick schedule
 
     def test_inference_exports(self, net_and_data, tmp_path):
         from recmv_tpu.core.inference import GarmentInference

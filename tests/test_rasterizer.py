@@ -164,3 +164,74 @@ class TestTileBoundaries:
         np.testing.assert_allclose(
             np.asarray(frag16.zbuf), np.asarray(frag32.zbuf), atol=1e-6
         )
+
+
+class TestCompositePoints:
+    """Fused composite_points == alpha_composite over fragments (with a
+    points_per_pixel large enough that truncation is irrelevant)."""
+
+    def _random_cloud(self, n=400, seed=0):
+        rng = np.random.RandomState(seed)
+        pts = np.stack([rng.rand(n) * 64, rng.rand(n) * 64,
+                        0.5 + rng.rand(n)], 1).astype(np.float32)
+        # a few invalid (padding) points behind the camera
+        pts[:5, 2] = -1.0
+        return jnp.asarray(pts)
+
+    def test_matches_fragment_path(self):
+        from recmv_tpu.ops.rasterizer import (
+            alpha_composite,
+            composite_points,
+            rasterize_points,
+        )
+
+        pts = self._random_cloud()
+        radius = 0.06
+        feats = jnp.asarray(
+            np.random.RandomState(1).rand(pts.shape[0], 2).astype(np.float32))
+        fused = composite_points(pts, radius, feats, (64, 64), tile=16,
+                                 sub=8, cap=256, sub_cap=64)
+        frag = rasterize_points(pts, radius, (64, 64), points_per_pixel=64,
+                                tile=16, cap=256)
+        ref = alpha_composite(frag, radius, feats)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_section_onehot_equals_zero_mask_split(self):
+        """Section one-hot channels == the _Split renderer's per-section
+        zero_mask composites."""
+        from recmv_tpu.ops.rasterizer import (
+            alpha_composite,
+            composite_points,
+            rasterize_points,
+        )
+
+        pts = self._random_cloud(300, seed=2)
+        radius = 0.08
+        P = pts.shape[0]
+        sec = (np.arange(P) >= P // 2).astype(np.int64)
+        onehot = jnp.asarray(np.eye(2, dtype=np.float32)[sec])
+        fused = composite_points(pts, radius, onehot, (64, 64), tile=16,
+                                 sub=8, cap=256, sub_cap=64)
+        frag = rasterize_points(pts, radius, (64, 64), points_per_pixel=64,
+                                tile=16, cap=256)
+        for s in range(2):
+            ref = alpha_composite(frag, radius, jnp.ones((P, 1)),
+                                  zero_mask=jnp.asarray(sec == s))[..., 0]
+            np.testing.assert_allclose(np.asarray(fused[..., s]),
+                                       np.asarray(ref), atol=2e-4)
+
+    def test_gradient_flows_to_points(self):
+        from recmv_tpu.ops.rasterizer import composite_points
+
+        pts = self._random_cloud(200, seed=3)
+        feats = jnp.ones((200, 1))
+
+        def loss(p):
+            return jnp.sum(composite_points(p, 0.08, feats, (64, 64),
+                                            tile=16, sub=8, cap=128,
+                                            sub_cap=64))
+
+        g = jax.grad(loss)(pts)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g[:, :2]).sum()) > 0

@@ -146,7 +146,9 @@ def main(argv=None):
     # per-frame chamfer vs gt
     import glob
 
-    dists = []
+    from recmv_tpu.ops.knn import knn
+
+    dists, one_sided = [], []
     for fid in range(dataset.frame_num):
         gp = osp.join(scene, "gt_meshes", f"{fid}.npz")
         cands = glob.glob(osp.join(out_dir, "meshs", f"{fid:04d}_*.obj"))
@@ -156,14 +158,21 @@ def main(argv=None):
         pred = np.concatenate([load_obj(c)[0] for c in cands], 0)
         dists.append(float(chamfer_distance(jnp.asarray(pred, jnp.float32),
                                             jnp.asarray(gt))))
+        # primary: every predicted vertex on the GT surface (the GT CSG
+        # tube is closed — its inner wall/caps inflate the symmetric
+        # number against an open garment by construction)
+        d2, _ = knn(jnp.asarray(pred, jnp.float32), jnp.asarray(gt), 1)
+        one_sided.append(float(jnp.mean(jnp.sqrt(d2))))
     dev = jax.devices()[0]
     out = {
         "config": {"image": args.image, "frames": args.frames,
                    "steps": args.steps, "init_epochs": args.init_epochs,
                    "pyramid": list(res[-1])},
         "device": str(dev), "platform": dev.platform,
-        "chamfer_l2_per_frame": [round(d, 6) for d in dists],
-        "chamfer_l2_mean": round(float(np.mean(dists)), 6),
+        "pred_to_gt_dist_per_frame": [round(d, 6) for d in one_sided],
+        "pred_to_gt_dist_mean": round(float(np.mean(one_sided)), 6),
+        "chamfer_l2_sym_per_frame": [round(d, 6) for d in dists],
+        "chamfer_l2_sym_mean": round(float(np.mean(dists)), 6),
         "t_init_s": round(t_init, 1), "t_train_s": round(t_train, 1),
         "t_registration_s": round(t_reg, 1),
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -276,7 +276,10 @@ class GarmentOptimNetwork:
         assert body[2] > 0, "tmp sdf vanished"
 
         def cap_of(n):
-            c = 1 << int(np.ceil(np.log2(max(n, 1) * 1.5 + 1)))
+            # slack 1.15: the padded tail feeds every downstream bin sort
+            # and deformer call, so keep it tight; meshes rarely grow >15%
+            # between remeshes (recompile if they do)
+            c = 1 << int(np.ceil(np.log2(max(n, 1) * 1.15 + 1)))
             return max(c, 2048)
 
         def trim(v, f, nv, nf):
@@ -958,7 +961,10 @@ class GarmentOptimNetwork:
             grads = self._apply_trainable_mask(grads)
             grads = jax.tree_util.tree_map(lambda g: g * lr_scale, grads)
             up, opt_state = self.global_opt.update(grads, opt_state, gparams)
-            return optax.apply_updates(gparams, up), opt_state
+            norms = {"gnorm_fl": optax.global_norm(g_fl),
+                     "gnorm_pc": optax.global_norm(g_pc),
+                     "gnorm_main": optax.global_norm(g_main)}
+            return optax.apply_updates(gparams, up), opt_state, norms
 
         cache["update"] = jax.jit(update_fn)
 
@@ -1102,10 +1108,11 @@ class GarmentOptimNetwork:
         self.info["t_main"] = _time.time() - _t0; _t0 = _time.time()
 
         # ④ combine and update globals (grad accumulation parity)
-        gparams, self.global_opt_state = fns["update"](
+        gparams, self.global_opt_state, gnorms = fns["update"](
             g_fl_global, g_pc_global, g_main, gparams, self.global_opt_state,
             jnp.asarray(self._lr_scale, jnp.float32))
         self._write_back(gparams)
+        self.info.update({k: float(v) for k, v in gnorms.items()})
         self.info["t_update"] = _time.time() - _t0
 
         self.opt_times += 1.0

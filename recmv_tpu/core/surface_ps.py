@@ -101,14 +101,26 @@ def optimize_surface_points(
         pts, unfinished = carry
         losses, grads = _per_point_grad(loss_fn, pts)
         gg = jnp.sum(grads * grads, -1)
-        t = -losses / jnp.clip(gg, 1e-20, None)
-        new_pts = pts + t[:, None] * grads
-        new_pts = jnp.where(unfinished[:, None], new_pts, pts)
-        unfinished = unfinished & ~converged(new_pts)
+        # Newton-ish step t = −loss/‖∇‖² (FindSurfacePs.py:295-313), with
+        # a trust region: a degenerate gradient (flat SDF region) would
+        # otherwise produce a ~1e20 step that poisons the point with
+        # inf/NaN and everything downstream of it (step-1 NaN at
+        # production scale with a short-init SDF)
+        ok = gg > 1e-12
+        t = jnp.where(ok, -losses / jnp.where(ok, gg, 1.0), 0.0)
+        step = t[:, None] * grads
+        slen = jnp.linalg.norm(step, axis=-1, keepdims=True)
+        step = step * jnp.minimum(1.0, MAX_STEP / jnp.clip(slen, 1e-12, None))
+        new_pts = pts + step
+        finite = jnp.isfinite(new_pts).all(-1)
+        new_pts = jnp.where((unfinished & finite)[:, None], new_pts, pts)
+        unfinished = unfinished & finite & ~converged(new_pts)
         return new_pts, unfinished
 
+    MAX_STEP = 0.05   # canonical units; 20 iterations still cover ±1
     unfinished0 = valid & ~converged(init_pts)
     pts, unfinished = jax.lax.fori_loop(0, times, body, (init_pts, unfinished0))
+    pts = jnp.where(jnp.isfinite(pts), pts, 0.0)   # belt and braces
     return jax.lax.stop_gradient(pts), valid & ~unfinished
 
 

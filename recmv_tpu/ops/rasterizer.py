@@ -173,10 +173,76 @@ def alpha_composite(frag: PointFragments, radius: float, features: jnp.ndarray,
     return jnp.einsum("hwk,hwkc->hwc", w * trans, f)
 
 
-@partial(jax.jit, static_argnames=("image_size", "tile", "sub", "cap", "sub_cap"))
+def _pallas_tile_pixels(Ht, Wt, tile):
+    """Static (T, 8, 128) pixel-center coordinate planes (flattened
+    row-major 32x32 tile → the native f32 register tile)."""
+    T = Ht * Wt
+    flat = np.arange(tile * tile)
+    px = np.empty((T, tile * tile), np.float32)
+    py = np.empty((T, tile * tile), np.float32)
+    for t in range(T):
+        ty, tx = divmod(t, Wt)
+        px[t] = tx * tile + (flat % tile)
+        py[t] = ty * tile + (flat // tile)
+    return (jnp.asarray(px.reshape(T, 8, 128)),
+            jnp.asarray(py.reshape(T, 8, 128)))
+
+
+def _composite_points_pallas(pts, radius, features, image_size, tile, cap,
+                             interpret=False):
+    """Pallas backend of composite_points: XLA prologue (bin + z-sort +
+    gather to dense per-tile candidate lists) + the sequential
+    compositing kernel (ops/pallas_composite.py)."""
+    from .pallas_composite import composite_tiles
+
+    H, W = image_size
+    P, C = features.shape
+    ndc_scale = 2.0 / min(H, W)
+    r_pix = radius / ndc_scale
+    Ht = -(-H // tile)
+    Wt = -(-W // tile)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    valid = z > 0
+    tx0 = jnp.floor((x - r_pix) / tile).astype(jnp.int32)
+    tx1 = jnp.floor((x + r_pix) / tile).astype(jnp.int32)
+    ty0 = jnp.floor((y - r_pix) / tile).astype(jnp.int32)
+    ty1 = jnp.floor((y + r_pix) / tile).astype(jnp.int32)
+
+    def row(ty):
+        row_hit = valid & (ty0 <= ty) & (ty1 >= ty)
+        tx = jnp.arange(Wt)
+        hit = row_hit[None, :] & (tx0[None, :] <= tx[:, None]) & (tx1[None, :] >= tx[:, None])
+        score = jnp.where(hit, -z[None, :], -jnp.inf)
+        _, pidx = jax.lax.top_k(score, min(cap, P))          # z-asc
+        pvalid = jnp.take_along_axis(hit, pidx, axis=1)
+        cx = x[pidx]
+        cy = y[pidx]
+        va = pvalid.astype(jnp.float32)
+        ft = (features[pidx] * pvalid[..., None]).swapaxes(1, 2)  # (Wt, C, cap)
+        return cx, cy, va, ft
+
+    cx, cy, va, ft = jax.lax.map(row, jnp.arange(Ht))
+    T = Ht * Wt
+    cx = cx.reshape(T, -1)
+    cy = cy.reshape(T, -1)
+    va = va.reshape(T, -1)
+    ft = ft.reshape(T, C, -1)
+    px, py = _pallas_tile_pixels(Ht, Wt, tile)
+    out = composite_tiles(cx, cy, va, ft, px, py,
+                          ndc_scale ** 2 / (radius * radius),
+                          interpret)                          # (T, C, 8, 128)
+    out = out.reshape(Ht, Wt, C, tile, tile)
+    out = jnp.moveaxis(out, 2, 4)                             # (Ht,Wt,ty,tx,C)
+    out = jnp.moveaxis(out, 1, 2).reshape(Ht * tile, Wt * tile, C)
+    return out[:H, :W]
+
+
+@partial(jax.jit, static_argnames=("image_size", "tile", "sub", "cap",
+                                   "sub_cap", "backend"))
 def composite_points(pts: jnp.ndarray, radius: float, features: jnp.ndarray,
                      image_size, tile: int = 32, sub: int = 8,
-                     cap: int = 768, sub_cap: int = 128) -> jnp.ndarray:
+                     cap: int = 768, sub_cap: int = 128,
+                     backend: str | None = None) -> jnp.ndarray:
     """Fused point rasterization + alpha compositing → (H, W, C).
 
     Same semantics as ``alpha_composite(rasterize_points(...))`` with
@@ -197,7 +263,19 @@ def composite_points(pts: jnp.ndarray, radius: float, features: jnp.ndarray,
     pass section one-hots as ``features`` and read one composited mask
     per channel — mathematically identical to per-section zero_mask
     composites. Overflowing candidates beyond the caps are dropped
-    farthest-last (z-sorted), like pytorch3d's bin overflow."""
+    farthest-last (z-sorted), like pytorch3d's bin overflow.
+
+    backend: None = auto (the Pallas kernel on TPU when tile==32 and cap
+    is CH-aligned, XLA otherwise), 'xla', 'pallas', or
+    'pallas_interpret' (CPU-testable)."""
+    if backend is None:
+        backend = ("pallas" if (jax.default_backend() == "tpu"
+                                and tile == 32 and cap % 8 == 0)
+                   else "xla")
+    if backend in ("pallas", "pallas_interpret"):
+        return _composite_points_pallas(pts, radius, features, image_size,
+                                        tile, cap,
+                                        interpret=backend == "pallas_interpret")
     H, W = image_size
     P, C = features.shape
     ndc_scale = 2.0 / min(H, W)

@@ -235,3 +235,31 @@ class TestCompositePoints:
         g = jax.grad(loss)(pts)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g[:, :2]).sum()) > 0
+
+    def test_pallas_backend_matches_xla(self):
+        """The Pallas compositing kernel (interpret mode on CPU) must
+        reproduce the XLA backend bit-for-bit-ish, values and point
+        gradients both."""
+        from recmv_tpu.ops.rasterizer import composite_points
+
+        pts = self._random_cloud(300, seed=4)
+        radius = 0.07
+        feats = jnp.asarray(
+            np.random.RandomState(5).rand(pts.shape[0], 2).astype(np.float32))
+
+        def run(backend):
+            def loss(p):
+                img = composite_points(p, radius, feats, (64, 64), tile=32,
+                                       sub=8, cap=256, sub_cap=64,
+                                       backend=backend)
+                return jnp.sum(img ** 2), img
+
+            (l, img), g = jax.value_and_grad(loss, has_aux=True)(pts)
+            return np.asarray(img), np.asarray(g)
+
+        img_x, g_x = run("xla")
+        img_p, g_p = run("pallas_interpret")
+        np.testing.assert_allclose(img_p, img_x, atol=1e-5)
+        # z column gets no gradient on either path (ordering gate)
+        np.testing.assert_allclose(g_p[:, :2], g_x[:, :2],
+                                   rtol=2e-3, atol=1e-5)

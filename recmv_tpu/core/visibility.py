@@ -43,7 +43,13 @@ def mesh_zbuf_image(cam, posed, faces, image_size, tile: int = 32,
 
     posed (N, V, 3) world coords; returns (N, H, W) of CAMERA-SPACE
     depth (the rasterizer's zbuf convention — probe points must be
-    compared in the same space, via ``screen_with_cam_z``)."""
+    compared in the same space, via ``screen_with_cam_z``).
+
+    The camera is stop-gradded along with the geometry: the z-buffer is
+    a visibility gate, not a gradient path (the reference computes it
+    under no_grad), and the forward-only Pallas mesh kernel must not be
+    differentiated."""
+    cam = jax.tree_util.tree_map(jax.lax.stop_gradient, cam)
     W, H = image_size
 
     def per_frame(pv):

@@ -372,10 +372,84 @@ def composite_points(pts: jnp.ndarray, radius: float, features: jnp.ndarray,
 # Mesh rasterization
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("image_size", "faces_per_pixel", "tile", "cap"))
+def _rasterize_mesh_pallas(verts, faces, image_size, tile, cap,
+                           interpret=False):
+    """Pallas backend (K=1, forward-only): XLA binning + premultiplied
+    per-face edge coefficients, then the sequential per-tile z-buffer
+    kernel (ops/pallas_raster.py)."""
+    from .pallas_raster import mesh_tiles
+
+    H, W = image_size
+    F = faces.shape[0]
+    Ht = -(-H // tile)
+    Wt = -(-W // tile)
+    tri = verts[faces]
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    z_ok = (tri[..., 2] > 1e-6).all(-1)
+    area = (v1[:, 0] - v0[:, 0]) * (v2[:, 1] - v0[:, 1]) - (
+        v1[:, 1] - v0[:, 1]) * (v2[:, 0] - v0[:, 0])
+    fvalid = z_ok & (jnp.abs(area) >= 1e-10)
+    inv_area = jnp.where(fvalid, 1.0 / jnp.where(fvalid, area, 1.0), 0.0)
+
+    def edge_coeffs(p0, p1):
+        # w(p) = [A(py − p0y) + B(px − p0x)]/area, A = p1x−p0x, B = −(p1y−p0y)
+        A = (p1[:, 0] - p0[:, 0]) * inv_area
+        B = -(p1[:, 1] - p0[:, 1]) * inv_area
+        C = -A * p0[:, 1] - B * p0[:, 0]
+        return A, B, C
+
+    e0 = edge_coeffs(v1, v2)   # w0 (vertex a)
+    e1 = edge_coeffs(v2, v0)   # w1
+    e2 = edge_coeffs(v0, v1)   # w2
+    qs = tuple(jnp.where(fvalid, 1.0 / jnp.maximum(t[:, 2], 1e-6), 0.0)
+               for t in (v0, v1, v2))
+    params = jnp.stack(e0 + e1 + e2 + qs, axis=1)   # (F, 12)
+    params = params * fvalid[:, None]
+
+    fx0 = jnp.min(tri[..., 0], axis=1)
+    fx1 = jnp.max(tri[..., 0], axis=1)
+    fy0 = jnp.min(tri[..., 1], axis=1)
+    fy1 = jnp.max(tri[..., 1], axis=1)
+    tx0 = jnp.floor(fx0 / tile).astype(jnp.int32)
+    tx1 = jnp.floor(fx1 / tile).astype(jnp.int32)
+    ty0 = jnp.floor(fy0 / tile).astype(jnp.int32)
+    ty1 = jnp.floor(fy1 / tile).astype(jnp.int32)
+    zmean = tri[..., 2].mean(1)
+
+    def row(ty):
+        row_hit = fvalid & (ty0 <= ty) & (ty1 >= ty)
+        tx = jnp.arange(Wt)
+        hit = row_hit[None, :] & (tx0[None, :] <= tx[:, None]) & (tx1[None, :] >= tx[:, None])
+        score = jnp.where(hit, -zmean[None, :], -jnp.inf).astype(jnp.bfloat16)
+        _, fidx = jax.lax.top_k(score, min(cap, F))
+        fval = jnp.take_along_axis(hit, fidx, axis=1)
+        prm = params[fidx] * fval[..., None]            # (Wt, cap, 12)
+        fid = jnp.where(fval, fidx, -1)
+        return prm.swapaxes(1, 2), fid                  # (Wt, 12, cap)
+
+    prm, fid = jax.lax.map(row, jnp.arange(Ht))
+    T = Ht * Wt
+    prm = prm.reshape(T, 12, -1)
+    fid = fid.reshape(T, 1, -1).astype(jnp.int32)
+    px, py = _pallas_tile_pixels(Ht, Wt, tile)
+    zb, fo, bc = mesh_tiles(prm, fid, px, py, interpret=interpret)
+
+    def untile(a):                                       # (T, 8, 128) → (H, W)
+        a = a.reshape(Ht, Wt, tile, tile)
+        a = jnp.moveaxis(a, 1, 2).reshape(Ht * tile, Wt * tile)
+        return a[:H, :W]
+
+    zbuf = untile(zb)[..., None]
+    p2f = untile(fo)[..., None]
+    bary = jnp.stack([untile(bc[:, i]) for i in range(3)], -1)[..., None, :]
+    return MeshFragments(p2f, bary, zbuf)
+
+
+@partial(jax.jit, static_argnames=("image_size", "faces_per_pixel", "tile",
+                                   "cap", "backend"))
 def rasterize_mesh(verts: jnp.ndarray, faces: jnp.ndarray, image_size,
                    faces_per_pixel: int = 1, tile: int = 32,
-                   cap: int = 512) -> MeshFragments:
+                   cap: int = 512, backend: str | None = None) -> MeshFragments:
     """verts (V, 3) screen-space; faces (F, 3) int32.
 
     Inside test: all barycentrics > 0 (either winding — barycentrics are
@@ -383,12 +457,23 @@ def rasterize_mesh(verts: jnp.ndarray, faces: jnp.ndarray, image_size,
     coordinates for both orientations, matching pytorch3d with
     cull_backfaces=False). Barycentrics are perspective-corrected; zbuf
     is the perspective-correct interpolated camera z.
+
+    backend: None = auto (Pallas kernel on TPU for the K=1/tile-32 case
+    — every fragment consumer is under stop_gradient; XLA otherwise),
+    'xla', 'pallas', 'pallas_interpret'.
     """
     H, W = image_size
     K = faces_per_pixel
     F = faces.shape[0]
     Ht = -(-H // tile)
     Wt = -(-W // tile)
+    if backend is None:
+        backend = ("pallas" if (jax.default_backend() == "tpu" and K == 1
+                                and tile == 32)
+                   else "xla")
+    if backend in ("pallas", "pallas_interpret"):
+        return _rasterize_mesh_pallas(verts, faces, image_size, tile, cap,
+                                      interpret=backend == "pallas_interpret")
 
     tri = verts[faces]  # (F, 3, 3)
     v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]

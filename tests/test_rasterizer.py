@@ -263,3 +263,31 @@ class TestCompositePoints:
         # z column gets no gradient on either path (ordering gate)
         np.testing.assert_allclose(g_p[:, :2], g_x[:, :2],
                                    rtol=2e-3, atol=1e-5)
+
+
+class TestPallasMeshRaster:
+    def test_matches_xla_backend(self):
+        """Pallas mesh z-buffer kernel (interpret mode) reproduces the
+        XLA fragments: pix_to_face, zbuf, and barycentrics."""
+        from recmv_tpu.ops.rasterizer import rasterize_mesh
+
+        rng = np.random.RandomState(0)
+        # a fan of random triangles in front of the camera
+        V = 90
+        verts = np.stack([rng.rand(V) * 64, rng.rand(V) * 64,
+                          1.0 + rng.rand(V)], 1).astype(np.float32)
+        faces = rng.randint(0, V, (60, 3)).astype(np.int32)
+        vj = jnp.asarray(verts)
+        fj = jnp.asarray(faces)
+        fr_x = rasterize_mesh(vj, fj, (64, 64), tile=32, cap=64,
+                              backend="xla")
+        fr_p = rasterize_mesh(vj, fj, (64, 64), tile=32, cap=64,
+                              backend="pallas_interpret")
+        np.testing.assert_array_equal(np.asarray(fr_p.pix_to_face),
+                                      np.asarray(fr_x.pix_to_face))
+        np.testing.assert_allclose(np.asarray(fr_p.zbuf),
+                                   np.asarray(fr_x.zbuf), atol=1e-4)
+        hit = np.asarray(fr_x.pix_to_face[..., 0]) >= 0
+        np.testing.assert_allclose(np.asarray(fr_p.bary_coords)[hit],
+                                   np.asarray(fr_x.bary_coords)[hit],
+                                   atol=1e-4)

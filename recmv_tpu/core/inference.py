@@ -207,6 +207,8 @@ class GarmentInference:
         reg_labels = {}
         fresh = False
         for gi, gname in enumerate(net.statics.garment_names):
+            if gname in self.registered:
+                continue
             cache = osp.join(save_dir, f"registry_{gname}.obj") if save_dir else None
             if cache and osp.isfile(cache):
                 from ..utils.io import load_obj

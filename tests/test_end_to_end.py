@@ -134,6 +134,52 @@ class TestEndToEndSmoke:
         # fresh init → tiny offsets → no outliers → identity mapping
         assert fl[g] == list(range(dataset.frame_num))
 
+    def test_animation_export(self, tiny_scene_net, tmp_path):
+        """infer_garment_animation drives a registered garment with a
+        novel pose sequence (averaged latents, mean translation)."""
+        import glob
+
+        from recmv_tpu.core.inference import GarmentInference
+        from recmv_tpu.data.synthetic import apose
+
+        net, dataset, ckpt = tiny_scene_net
+        net.load_checkpoint(ckpt)
+        inf = GarmentInference(net)
+        t = net.garment_templates[0]
+        gname = net.statics.garment_names[0]
+        inf.registered[gname] = (np.asarray(t.verts, np.float32),
+                                 np.asarray(t.faces))
+        poses = np.stack([apose()] * 3)
+        poses[1, 0, 1] += 0.4   # novel yaw
+        trans = np.zeros((3, 3), np.float32)
+        ratio = {"sdfRatio": 1.0, "deformerRatio": 1.0, "renderRatio": 1.0}
+        out = str(tmp_path / "anim")
+        inf.infer_garment_animation(poses, trans, ratio, out)
+        objs = sorted(glob.glob(os.path.join(out, f"*_{gname}.obj")))
+        assert len(objs) == 3
+        from recmv_tpu.utils.io import load_obj
+
+        v0 = load_obj(objs[0])[0]
+        v1 = load_obj(objs[1])[0]
+        assert len(v0) == len(t.verts)
+        assert np.abs(np.asarray(v0) - np.asarray(v1)).max() > 1e-3  # moved
+
+    def test_pose_smoothing(self, tiny_scene_net):
+        """smooth_scene_poses (OneEuro) reduces frame-to-frame jitter."""
+        from recmv_tpu.core.inference import smooth_scene_poses
+
+        net, dataset, ckpt = tiny_scene_net
+        net.load_checkpoint(ckpt)
+        rng = np.random.RandomState(0)
+        noisy = dataset.params.poses + rng.randn(
+            *dataset.params.poses.shape).astype(np.float32) * 0.05
+        dataset.params.poses = noisy.copy()
+        jitter_before = np.abs(np.diff(noisy, axis=0)).mean()
+        smooth_scene_poses(dataset)
+        jitter_after = np.abs(np.diff(dataset.params.poses, axis=0)).mean()
+        assert jitter_after < jitter_before
+        net.load_checkpoint(ckpt)   # restore for later tests
+
     def test_curve_export(self, tiny_scene_net, tmp_path):
         from recmv_tpu.core.inference import GarmentInference
 

@@ -142,6 +142,23 @@ def main():
             with open(p) as f:
                 extra[name.replace("bench_", "").replace(".json", "")] = json.load(f)
 
+    # BASELINE.md's sec/frame metric, projected from the measured
+    # amortized step time and the female-3-casual schedule (200 epochs:
+    # coarse 0-8 @batch3, medium 8-12 @batch2, fine 12-200 @batch1) on a
+    # 440-frame PeopleSnapshot sequence.
+    fs = extra.get("fullstep")
+    if fs and "sec_per_step_amortized" in fs:
+        spp = fs["sec_per_step_amortized"]
+        frames = 440
+        steps = 8 * frames / 3 + 4 * frames / 2 + 188 * frames / 1
+        extra["projected_full_sequence"] = {
+            "frames": frames, "total_steps": int(steps),
+            "sec_per_frame": round(spp * steps / frames, 1),
+            "wall_clock_h": round(spp * steps / 3600.0, 1),
+            "provenance": "projection: measured amortized sec/step x "
+                          "reference female-3-casual schedule",
+        }
+
     print(json.dumps({
         "metric": "rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

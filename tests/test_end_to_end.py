@@ -134,6 +134,45 @@ class TestEndToEndSmoke:
         # fresh init → tiny offsets → no outliers → identity mapping
         assert fl[g] == list(range(dataset.frame_num))
 
+    def test_large_pose_stage(self, tiny_scene_net):
+        """The large-pose stage freezes every SDF and disables the curve
+        branch (OptimGarmentNetwork_Large_Pose.py:130-137,219) — only the
+        deformer/poses/latents/camera train."""
+        import jax
+        import jax.random as jrandom
+
+        net, dataset, ckpt = tiny_scene_net
+        net.load_checkpoint(ckpt)
+        net.mesh = None
+        net.set_parallel(None)
+        net.large_pose = True
+        net._init_global_opt()
+        net.on_phase_change()
+        try:
+            sdf_b = [np.asarray(l) for l in jax.tree_util.tree_leaves(net.params["sdf"])]
+            gar_b = [np.asarray(l) for l in
+                     jax.tree_util.tree_leaves(net.params["garment_sdfs"])]
+            tr_b = [np.asarray(l) for l in
+                    jax.tree_util.tree_leaves(net.params["translator"])]
+            ratio = {"sdfRatio": 1.0, "deformerRatio": 0.5, "renderRatio": 1.0}
+            loss, info = net.train_step(dataset.get_batch([0, 1]), [0, 1],
+                                        ratio, jrandom.PRNGKey(3))
+            assert np.isfinite(loss), info
+            assert "fl_loss_total" not in info       # curve branch off
+            for b, a in zip(sdf_b, jax.tree_util.tree_leaves(net.params["sdf"])):
+                np.testing.assert_array_equal(b, np.asarray(a))   # frozen
+            for b, a in zip(gar_b,
+                            jax.tree_util.tree_leaves(net.params["garment_sdfs"])):
+                np.testing.assert_array_equal(b, np.asarray(a))   # frozen
+            moved = any(np.abs(b - np.asarray(a)).max() > 0 for b, a in
+                        zip(tr_b, jax.tree_util.tree_leaves(net.params["translator"])))
+            assert moved                              # deformer trains
+        finally:
+            net.large_pose = False
+            net._init_global_opt()
+            net.on_phase_change()
+            net.load_checkpoint(ckpt)
+
     def test_animation_export(self, tiny_scene_net, tmp_path):
         """infer_garment_animation drives a registered garment with a
         novel pose sequence (averaged latents, mean translation)."""

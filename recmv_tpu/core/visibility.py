@@ -37,13 +37,19 @@ VISIBLE_METHODS = ("zbuff", "garment_zbuff", "zbuff_and", "surface", "sdf")
 
 
 def mesh_zbuf_image(cam, posed, faces, image_size, tile: int = 32,
-                    cap: int = 512):
+                    cap: int = 512, downscale: int = 1):
     """Per-frame z-buffer of a posed mesh with background filled by the
     frame's max vertex depth (fl_visible_by_body_zbuff :1444-1460).
 
-    posed (N, V, 3) world coords; returns (N, H, W) of CAMERA-SPACE
-    depth (the rasterizer's zbuf convention — probe points must be
-    compared in the same space, via ``screen_with_cam_z``).
+    posed (N, V, 3) world coords; returns (N, H/downscale, W/downscale)
+    of CAMERA-SPACE depth (the rasterizer's zbuf convention — probe
+    points must be compared in the same space, via ``screen_with_cam_z``).
+
+    ``downscale`` renders the buffer at reduced resolution: the z-buffer
+    is only ever probed bilinearly through ``sample_zbuf`` (whose uv
+    normalization is resolution-independent) as a gate with ~5 cm
+    ZBUF_THRESHOLD tolerance, so a 1/4-res buffer is indistinguishable
+    downstream while cutting raster cost ~16x.
 
     The camera is stop-gradded along with the geometry: the z-buffer is
     a visibility gate, not a gradient path (the reference computes it
@@ -51,10 +57,12 @@ def mesh_zbuf_image(cam, posed, faces, image_size, tile: int = 32,
     differentiated."""
     cam = jax.tree_util.tree_map(jax.lax.stop_gradient, cam)
     W, H = image_size
+    Hs, Ws = -(-H // downscale), -(-W // downscale)
+    inv = jnp.asarray([1.0 / downscale, 1.0 / downscale, 1.0], jnp.float32)
 
     def per_frame(pv):
-        scr = screen_with_cam_z(cam, pv)
-        frag = rasterize_mesh(scr, faces, (H, W), tile=tile, cap=cap)
+        scr = screen_with_cam_z(cam, pv) * inv
+        frag = rasterize_mesh(scr, faces, (Hs, Ws), tile=tile, cap=cap)
         zb = frag.zbuf[..., 0]
         return jnp.where(zb <= 0, jnp.max(scr[..., 2]), zb)
 
@@ -115,8 +123,18 @@ def combine_visibility(method: str, body_vis=None, garment_vis=None,
     if method == "zbuff":
         return body_vis
     if method == "garment_zbuff":
+        if garment_vis is None:
+            raise ValueError(
+                "fl_visible_method='garment_zbuff' requires deformed garment "
+                "meshes (pass garment_vs_t/garment_fs_t to fl_branch_loss); "
+                "none were provided — use 'zbuff' before the first MC mesh "
+                "exists")
         return garment_vis
     if method == "zbuff_and":
+        if garment_vis is None:
+            # no garment mesh yet (pre-first-remesh): the body gate alone
+            # is the reference behavior until MC meshes exist
+            return body_vis
         return body_vis & garment_vis
     if method in ("surface", "sdf"):
         return normal_vis

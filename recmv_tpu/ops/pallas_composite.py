@@ -43,8 +43,8 @@ EPS = 1e-10
 LANES = 128
 
 
-def _fwd_kernel(inv_ref, cx_ref, cy_ref, val_ref, feat_ref, px_ref, py_ref,
-                out_ref, *, cap, C):
+def _fwd_kernel(inv_ref, cx_ref, cy_ref, val_ref, feat_ref, cnt_ref, px_ref,
+                py_ref, out_ref, *, cap, C):
     inv_r2 = inv_ref[0, 0]
     px = px_ref[0]          # (8, 128)
     py = py_ref[0]
@@ -64,17 +64,37 @@ def _fwd_kernel(inv_ref, cx_ref, cy_ref, val_ref, feat_ref, px_ref, py_ref,
 
     init = (jnp.ones((8, LANES), jnp.float32),) + tuple(
         jnp.zeros((8, LANES), jnp.float32) for _ in range(C))
-    out = jax.lax.fori_loop(0, cap, body, init)
+    # dynamic trip count: sweep only this tile's binned candidates —
+    # empty/sparse tiles (most of a 1080² frame) cost nothing
+    out = jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body, init)
     for c in range(C):
         out_ref[0, c] = out[1 + c]
 
 
-def _bwd_kernel(inv_ref, cx_ref, cy_ref, val_ref, feat_ref, px_ref, py_ref,
-                g_ref, dcx_ref, dcy_ref, dfeat_ref, w_scr, t_scr, *, cap, C):
+def _bwd_kernel(inv_ref, cx_ref, cy_ref, val_ref, feat_ref, cnt_ref, px_ref,
+                py_ref, g_ref, dcx_ref, dcy_ref, dfeat_ref, w_scr, t_scr,
+                *, cap, C):
     inv_r2 = inv_ref[0, 0]
     px = px_ref[0]
     py = py_ref[0]
     g = [g_ref[0, c] for c in range(C)]
+    n_blocks = cap // LANES
+    # only ceil(cnt/128) blocks hold real candidates; the rest get the
+    # zero-init below and are skipped by both sweeps
+    nb = (cnt_ref[0, 0, 0] + (LANES - 1)) // LANES
+
+    # all gradient outputs are whole-block vector stores — zero-init every
+    # block so the skipped tail is defined (r2-advice NaN regression)
+    def zinit(ob, _):
+        off = pl.multiple_of(ob * LANES, LANES)
+        zero = jnp.zeros((LANES,), jnp.float32)
+        dcx_ref[0, 0, pl.ds(off, LANES)] = zero
+        dcy_ref[0, 0, pl.ds(off, LANES)] = zero
+        for c in range(C):
+            dfeat_ref[0, c, pl.ds(off, LANES)] = zero
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, zinit, 0)
 
     # forward sweep: store w_k and the prefix transmittance T_k
     def fsweep(k, T):
@@ -87,16 +107,16 @@ def _bwd_kernel(inv_ref, cx_ref, cy_ref, val_ref, feat_ref, px_ref, py_ref,
         t_scr[pl.ds(k, 1)] = T[None]
         return T * (1.0 - w + EPS)
 
-    jax.lax.fori_loop(0, cap, fsweep, jnp.ones((8, LANES), jnp.float32))
+    jax.lax.fori_loop(0, nb * LANES, fsweep,
+                      jnp.ones((8, LANES), jnp.float32))
 
     # reverse sweep over 128-candidate blocks: S_c = Σ_{m>k} w_m T_m f_mc,
     # ∂out_c/∂w_k = T_k f_kc − S_c/(1 − w_k + eps). Scalars land in
     # 128-lane registers via masked insert, stored lane-aligned.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    n_blocks = cap // LANES
 
     def rsweep(ob, S):
-        base = (n_blocks - 1 - ob) * LANES
+        base = (nb - 1 - ob) * LANES
 
         def inner(j, carry):
             S = carry[:C]
@@ -138,7 +158,7 @@ def _bwd_kernel(inv_ref, cx_ref, cy_ref, val_ref, feat_ref, px_ref, py_ref,
         return S
 
     S0 = tuple(jnp.zeros((8, LANES), jnp.float32) for _ in range(C))
-    jax.lax.fori_loop(0, n_blocks, rsweep, S0)
+    jax.lax.fori_loop(0, nb, rsweep, S0)
 
 
 def _tile_specs(cap, C):
@@ -148,6 +168,7 @@ def _tile_specs(cap, C):
         scal=pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=sm),
         cand=pl.BlockSpec((1, 1, cap), lambda t: (t, 0, 0), memory_space=sm),
         feat=pl.BlockSpec((1, C, cap), lambda t: (t, 0, 0), memory_space=sm),
+        cnt=pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0), memory_space=sm),
         pix=pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0), memory_space=v),
         out=pl.BlockSpec((1, C, 8, LANES), lambda t: (t, 0, 0, 0),
                          memory_space=v),
@@ -156,14 +177,16 @@ def _tile_specs(cap, C):
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7,))
-def composite_tiles(cx, cy, val, feat, px, py, inv_r2, interpret=False):
+@partial(jax.custom_vjp, nondiff_argnums=(8,))
+def composite_tiles(cx, cy, val, feat, px, py, inv_r2, cnt, interpret=False):
     """(T, cap) candidates + (T, 8, 128) pixels → (T, C, 8, 128).
-    inv_r2: () traced scalar = ndc_scale²/radius²."""
-    return _composite_fwd_impl(cx, cy, val, feat, px, py, inv_r2, interpret)
+    inv_r2: () traced scalar = ndc_scale²/radius². cnt: (T,) i32 per-tile
+    candidate counts (dynamic kernel loop bounds)."""
+    return _composite_fwd_impl(cx, cy, val, feat, px, py, inv_r2, cnt,
+                               interpret)
 
 
-def _composite_fwd_impl(cx, cy, val, feat, px, py, inv_r2, interpret):
+def _composite_fwd_impl(cx, cy, val, feat, px, py, inv_r2, cnt, interpret):
     T, cap = cx.shape
     C = feat.shape[1]
     s = _tile_specs(cap, C)
@@ -174,19 +197,20 @@ def _composite_fwd_impl(cx, cy, val, feat, px, py, inv_r2, interpret):
         out_shape=jax.ShapeDtypeStruct((T, C, 8, LANES), jnp.float32),
         grid=(T,),
         in_specs=[s["scal"], s["cand"], s["cand"], s["cand"], s["feat"],
-                  s["pix"], s["pix"]],
+                  s["cnt"], s["pix"], s["pix"]],
         out_specs=s["out"],
         interpret=interpret,
-    )(inv, cx3, cy3, val3, feat, px, py)
+    )(inv, cx3, cy3, val3, feat, cnt.astype(jnp.int32).reshape(T, 1, 1), px, py)
 
 
-def _composite_fwd(cx, cy, val, feat, px, py, inv_r2, interpret):
-    out = _composite_fwd_impl(cx, cy, val, feat, px, py, inv_r2, interpret)
-    return out, (cx, cy, val, feat, px, py, inv_r2)
+def _composite_fwd(cx, cy, val, feat, px, py, inv_r2, cnt, interpret):
+    out = _composite_fwd_impl(cx, cy, val, feat, px, py, inv_r2, cnt,
+                              interpret)
+    return out, (cx, cy, val, feat, px, py, inv_r2, cnt)
 
 
 def _composite_bwd(interpret, res, g):
-    cx, cy, val, feat, px, py, inv_r2 = res
+    cx, cy, val, feat, px, py, inv_r2, cnt = res
     T, cap = cx.shape
     C = feat.shape[1]
     s = _tile_specs(cap, C)
@@ -201,16 +225,17 @@ def _composite_bwd(interpret, res, g):
         ),
         grid=(T,),
         in_specs=[s["scal"], s["cand"], s["cand"], s["cand"], s["feat"],
-                  s["pix"], s["pix"], s["out"]],
+                  s["cnt"], s["pix"], s["pix"], s["out"]],
         out_specs=(s["dcand"], s["dcand"], s["dfeat"]),
         scratch_shapes=[
             pltpu.VMEM((cap, 8, LANES), jnp.float32),
             pltpu.VMEM((cap, 8, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(inv, cx3, cy3, val3, feat, px, py, g)
+    )(inv, cx3, cy3, val3, feat, cnt.astype(jnp.int32).reshape(T, 1, 1), px, py, g)
     return (dcx.reshape(T, cap), dcy.reshape(T, cap), jnp.zeros_like(val),
-            dfeat, jnp.zeros_like(px), jnp.zeros_like(py), jnp.zeros(()))
+            dfeat, jnp.zeros_like(px), jnp.zeros_like(py), jnp.zeros(()),
+            jnp.zeros_like(cnt))
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)

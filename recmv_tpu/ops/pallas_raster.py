@@ -28,8 +28,8 @@ LANES = 128
 BIG = 3.0e38
 
 
-def _mesh_kernel(prm_ref, fid_ref, px_ref, py_ref, zb_ref, fo_ref, bc_ref,
-                 *, cap):
+def _mesh_kernel(prm_ref, fid_ref, cnt_ref, px_ref, py_ref, zb_ref, fo_ref,
+                 bc_ref, *, cap):
     px = px_ref[0]          # (8, 128)
     py = py_ref[0]
 
@@ -71,7 +71,9 @@ def _mesh_kernel(prm_ref, fid_ref, px_ref, py_ref, zb_ref, fo_ref, bc_ref,
             jnp.full((8, LANES), -1.0, jnp.float32),
             jnp.full((8, LANES), -1.0, jnp.float32),
             jnp.full((8, LANES), -1.0, jnp.float32))
-    zbest, fbest, b0, b1, b2 = jax.lax.fori_loop(0, cap, body, init)
+    # dynamic trip count: only this tile's binned candidates are swept
+    # (empty/sparse tiles — most of a 1080² frame — cost nothing)
+    zbest, fbest, b0, b1, b2 = jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body, init)
     got = zbest < BIG
     zb_ref[0] = jnp.where(got, zbest, -1.0)
     fo_ref[0] = fbest
@@ -80,8 +82,9 @@ def _mesh_kernel(prm_ref, fid_ref, px_ref, py_ref, zb_ref, fo_ref, bc_ref,
     bc_ref[0, 2] = b2
 
 
-def mesh_tiles(prm, fid, px, py, interpret=False):
-    """prm (T, 12, cap) f32, fid (T, 1, cap) i32, px/py (T, 8, 128) →
+def mesh_tiles(prm, fid, px, py, cnt, interpret=False):
+    """prm (T, 12, cap) f32, fid (T, 1, cap) i32, px/py (T, 8, 128),
+    cnt (T,) i32 per-tile candidate counts →
     (zbuf (T, 8, 128), face (T, 8, 128) i32, bary (T, 3, 8, 128))."""
     T, _, cap = prm.shape
     sm = pltpu.SMEM
@@ -97,6 +100,7 @@ def mesh_tiles(prm, fid, px, py, interpret=False):
         in_specs=[
             pl.BlockSpec((1, 12, cap), lambda t: (t, 0, 0), memory_space=sm),
             pl.BlockSpec((1, 1, cap), lambda t: (t, 0, 0), memory_space=sm),
+            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0), memory_space=sm),
             pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0), memory_space=v),
             pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0), memory_space=v),
         ],
@@ -107,4 +111,4 @@ def mesh_tiles(prm, fid, px, py, interpret=False):
                          memory_space=v),
         ),
         interpret=interpret,
-    )(prm, fid, px, py)
+    )(prm, fid, cnt.astype(jnp.int32).reshape(T, 1, 1), px, py)

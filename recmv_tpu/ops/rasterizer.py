@@ -66,6 +66,67 @@ def _pad_to(x, n, axis=0, value=0):
     return jnp.pad(x, pad, constant_values=value)
 
 
+def _bin_sorted(tx0, tx1, ty0, ty1, z, valid, Ht, Wt, cap, span=2):
+    """Tile binning via ONE fused global sort instead of per-tile-row
+    top_k (the r2 profile's dominant raster cost: ~40 ms per
+    (Wt, 500k)→cap top_k, ×Ht rows).
+
+    Each primitive is replicated span² times at tile offsets
+    (ty0+dy, tx0+dx); a fused u32 key (tile_id·2^zbits | quantized z)
+    sorts by tile then near-to-far in a single sort_key_val, tile
+    boundaries come from searchsorted, and each tile gathers its first
+    ≤cap entries — same nearest-cap overflow semantics as the top_k
+    path. z quantization only affects ORDER between nearly-equal depths
+    (≤2^-zbits of the z range), not the depth values themselves.
+
+    Primitives spanning more than `span` tiles per axis lose their
+    farthest tiles; with 32-px tiles every production primitive
+    (point radius ~2 px, MC/SMPL triangles ≪32 px) spans ≤2.
+
+    Returns (T, cap) int32 primitive indices, (T, cap) bool validity
+    (z-ascending per tile), and (T,) int32 per-tile candidate counts
+    (≤cap) — the kernels use the counts as dynamic loop bounds so
+    sparse/empty tiles cost nothing."""
+    T = Ht * Wt
+    P = z.shape[0]
+    tbits = max(int(np.ceil(np.log2(T + 2))), 1)
+    zbits = 32 - tbits
+    nq = np.uint32(2 ** zbits - 1)
+
+    zmin = jnp.min(jnp.where(valid, z, jnp.inf))
+    zmax = jnp.max(jnp.where(valid, z, -jnp.inf))
+    zq = ((z - zmin) / jnp.maximum(zmax - zmin, 1e-12) * np.float32(nq))
+    # clamp AFTER the uint cast: f32 rounding can land exactly on
+    # 2^zbits, which would bleed into the tile bits of the fused key
+    zq = jnp.minimum(jnp.maximum(zq, 0.0).astype(jnp.uint32), nq)
+
+    keys = []
+    idxs = []
+    prim = jnp.arange(P, dtype=jnp.int32)
+    for dy in range(span):
+        for dx in range(span):
+            ty = ty0 + dy
+            tx = tx0 + dx
+            ok = (valid & (ty <= ty1) & (tx <= tx1)
+                  & (ty >= 0) & (ty < Ht) & (tx >= 0) & (tx < Wt))
+            tid = jnp.where(ok, ty * Wt + tx, T).astype(jnp.uint32)
+            keys.append((tid << zbits) | jnp.where(ok, zq, nq))
+            idxs.append(prim)
+    keys = jnp.concatenate(keys)
+    idxs = jnp.concatenate(idxs)
+    keys, idxs = jax.lax.sort_key_val(keys, idxs)
+
+    tile_of = (keys >> zbits).astype(jnp.int32)
+    starts = jnp.searchsorted(tile_of, jnp.arange(T + 1, dtype=jnp.int32))
+    count = starts[1:] - starts[:-1]                       # (T,)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    gidx = jnp.minimum(starts[:-1, None] + j[None], keys.shape[0] - 1)
+    pidx = idxs[gidx]                                      # (T, cap)
+    count = jnp.minimum(count, cap).astype(jnp.int32)
+    pvalid = j[None] < count[:, None]
+    return jnp.where(pvalid, pidx, 0), pvalid, count
+
+
 # ---------------------------------------------------------------------------
 # Point rasterization
 # ---------------------------------------------------------------------------
@@ -190,9 +251,9 @@ def _pallas_tile_pixels(Ht, Wt, tile):
 
 def _composite_points_pallas(pts, radius, features, image_size, tile, cap,
                              interpret=False):
-    """Pallas backend of composite_points: XLA prologue (bin + z-sort +
-    gather to dense per-tile candidate lists) + the sequential
-    compositing kernel (ops/pallas_composite.py)."""
+    """Pallas backend of composite_points: XLA prologue (one fused
+    tile+z sort → dense per-tile candidate lists, ``_bin_sorted``) + the
+    sequential compositing kernel (ops/pallas_composite.py)."""
     from .pallas_composite import composite_tiles
 
     H, W = image_size
@@ -208,28 +269,27 @@ def _composite_points_pallas(pts, radius, features, image_size, tile, cap,
     ty0 = jnp.floor((y - r_pix) / tile).astype(jnp.int32)
     ty1 = jnp.floor((y + r_pix) / tile).astype(jnp.int32)
 
-    def row(ty):
-        row_hit = valid & (ty0 <= ty) & (ty1 >= ty)
-        tx = jnp.arange(Wt)
-        hit = row_hit[None, :] & (tx0[None, :] <= tx[:, None]) & (tx1[None, :] >= tx[:, None])
-        score = jnp.where(hit, -z[None, :], -jnp.inf)
-        _, pidx = jax.lax.top_k(score, min(cap, P))          # z-asc
-        pvalid = jnp.take_along_axis(hit, pidx, axis=1)
-        cx = x[pidx]
-        cy = y[pidx]
-        va = pvalid.astype(jnp.float32)
-        ft = (features[pidx] * pvalid[..., None]).swapaxes(1, 2)  # (Wt, C, cap)
-        return cx, cy, va, ft
-
-    cx, cy, va, ft = jax.lax.map(row, jnp.arange(Ht))
+    pidx, pvalid, cnt = _bin_sorted(tx0, tx1, ty0, ty1, z, valid, Ht, Wt,
+                                    min(cap, P))
     T = Ht * Wt
-    cx = cx.reshape(T, -1)
-    cy = cy.reshape(T, -1)
-    va = va.reshape(T, -1)
-    ft = ft.reshape(T, C, -1)
+    cx = x[pidx]                                          # (T, cap)
+    cy = y[pidx]
+    va = pvalid.astype(jnp.float32)
+    ft = (features[pidx] * pvalid[..., None]).swapaxes(1, 2)  # (T, C, cap)
+    # The backward kernel sweeps the candidate axis in whole 128-lane
+    # blocks (pallas_composite._bwd_kernel, n_blocks = cap // 128): pad
+    # up to a multiple of 128 with val=0 entries (zero weight, so the
+    # composite is unchanged and the tail gradients are defined; pad's
+    # VJP slices the upstream gradients back to the true length).
+    pad = (-cx.shape[1]) % 128
+    if pad:
+        cx = jnp.pad(cx, ((0, 0), (0, pad)))
+        cy = jnp.pad(cy, ((0, 0), (0, pad)))
+        va = jnp.pad(va, ((0, 0), (0, pad)))
+        ft = jnp.pad(ft, ((0, 0), (0, 0), (0, pad)))
     px, py = _pallas_tile_pixels(Ht, Wt, tile)
     out = composite_tiles(cx, cy, va, ft, px, py,
-                          ndc_scale ** 2 / (radius * radius),
+                          ndc_scale ** 2 / (radius * radius), cnt,
                           interpret)                          # (T, C, 8, 128)
     out = out.reshape(Ht, Wt, C, tile, tile)
     out = jnp.moveaxis(out, 2, 4)                             # (Ht,Wt,ty,tx,C)
@@ -265,12 +325,12 @@ def composite_points(pts: jnp.ndarray, radius: float, features: jnp.ndarray,
     composites. Overflowing candidates beyond the caps are dropped
     farthest-last (z-sorted), like pytorch3d's bin overflow.
 
-    backend: None = auto (the Pallas kernel on TPU when tile==32 and cap
-    is CH-aligned, XLA otherwise), 'xla', 'pallas', or
-    'pallas_interpret' (CPU-testable)."""
+    backend: None = auto (the Pallas kernel on TPU when tile==32; the
+    prologue pads the candidate axis to a 128 multiple so any cap/P is
+    safe), 'xla', 'pallas', or 'pallas_interpret' (CPU-testable)."""
     if backend is None:
         backend = ("pallas" if (jax.default_backend() == "tpu"
-                                and tile == 32 and cap % 8 == 0)
+                                and tile == 32)
                    else "xla")
     if backend in ("pallas", "pallas_interpret"):
         return _composite_points_pallas(pts, radius, features, image_size,
@@ -416,23 +476,13 @@ def _rasterize_mesh_pallas(verts, faces, image_size, tile, cap,
     ty1 = jnp.floor(fy1 / tile).astype(jnp.int32)
     zmean = tri[..., 2].mean(1)
 
-    def row(ty):
-        row_hit = fvalid & (ty0 <= ty) & (ty1 >= ty)
-        tx = jnp.arange(Wt)
-        hit = row_hit[None, :] & (tx0[None, :] <= tx[:, None]) & (tx1[None, :] >= tx[:, None])
-        score = jnp.where(hit, -zmean[None, :], -jnp.inf).astype(jnp.bfloat16)
-        _, fidx = jax.lax.top_k(score, min(cap, F))
-        fval = jnp.take_along_axis(hit, fidx, axis=1)
-        prm = params[fidx] * fval[..., None]            # (Wt, cap, 12)
-        fid = jnp.where(fval, fidx, -1)
-        return prm.swapaxes(1, 2), fid                  # (Wt, 12, cap)
-
-    prm, fid = jax.lax.map(row, jnp.arange(Ht))
+    fidx, fval, cnt = _bin_sorted(tx0, tx1, ty0, ty1, zmean, fvalid, Ht, Wt,
+                                  min(cap, F), span=3)
     T = Ht * Wt
-    prm = prm.reshape(T, 12, -1)
-    fid = fid.reshape(T, 1, -1).astype(jnp.int32)
+    prm = (params[fidx] * fval[..., None]).swapaxes(1, 2)   # (T, 12, cap)
+    fid = jnp.where(fval, fidx, -1).reshape(T, 1, -1).astype(jnp.int32)
     px, py = _pallas_tile_pixels(Ht, Wt, tile)
-    zb, fo, bc = mesh_tiles(prm, fid, px, py, interpret=interpret)
+    zb, fo, bc = mesh_tiles(prm, fid, px, py, cnt, interpret=interpret)
 
     def untile(a):                                       # (T, 8, 128) → (H, W)
         a = a.reshape(Ht, Wt, tile, tile)
@@ -559,6 +609,60 @@ def rasterize_mesh(verts: jnp.ndarray, faces: jnp.ndarray, image_size,
         return a[:H, :W]
 
     return MeshFragments(untile(fi), untile(bc, 3), untile(zb))
+
+
+def mesh_vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Area-weighted vertex normals, on device (scatter-add of face
+    normals — the jnp counterpart of geometry.mesh_utils.vertex_normals)."""
+    v0 = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]]
+    v2 = verts[faces[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)
+    vn = (jnp.zeros_like(verts)
+          .at[faces[:, 0]].add(fn)
+          .at[faces[:, 1]].add(fn)
+          .at[faces[:, 2]].add(fn))
+    return vn / jnp.clip(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+
+
+@partial(jax.jit, static_argnames=("image_size", "tile", "cap"))
+def phong_render(cam, world_verts, faces, vert_colors, image_size,
+                 light_loc, cam_pos, tile: int = 32, cap: int = 512,
+                 background: float = 1.0):
+    """Hard-Phong render of one mesh → ((H, W, 3) rgb in [0, 1], hit).
+
+    The inference exports' shader (reference ``maskRender`` =
+    pytorch3d MeshRenderer + HardPhongShader, infer_garment,
+    OptimGarmentNetwork.py:3084-3213): K=1 rasterization, barycentric
+    position/normal/color interpolation, point light with pytorch3d's
+    default ambient/diffuse/specular weights (0.5/0.3/0.2, shininess 64),
+    white background. Normals are flipped toward the viewer so the inside
+    of open garments isn't black."""
+    H, W = image_size
+    scr = screen_with_cam_z(cam, world_verts)
+    frag = rasterize_mesh(scr, faces, (H, W), tile=tile, cap=cap)
+    hit = frag.pix_to_face[..., 0] >= 0
+    fid = jnp.maximum(frag.pix_to_face[..., 0], 0)
+    w = jnp.where(hit[..., None], frag.bary_coords[..., 0, :], 0.0)
+    tri = faces[fid]                                       # (H, W, 3)
+    interp = lambda a: jnp.einsum("hwk,hwkc->hwc", w, a[tri])
+    pos = interp(world_verts)
+    vn = mesh_vertex_normals(world_verts, faces)
+    nrm = interp(vn)
+    nrm = nrm / jnp.clip(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    col = interp(vert_colors)
+
+    v = cam_pos - pos
+    v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    nrm = nrm * jnp.sign(jnp.sum(nrm * v, -1, keepdims=True) + 1e-12)
+    l = light_loc - pos
+    l = l / jnp.clip(jnp.linalg.norm(l, axis=-1, keepdims=True), 1e-12)
+    ndl = jnp.maximum(jnp.sum(nrm * l, -1, keepdims=True), 0.0)
+    refl = 2.0 * jnp.sum(nrm * l, -1, keepdims=True) * nrm - l
+    spec = jnp.maximum(jnp.sum(refl * v, -1, keepdims=True), 0.0) ** 64
+    rgb = col * (0.5 + 0.3 * ndl) + 0.2 * spec
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    return jnp.where(hit[..., None], rgb, background), hit
 
 
 def silhouette_from_fragments(frag: MeshFragments) -> jnp.ndarray:

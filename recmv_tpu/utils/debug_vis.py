@@ -107,7 +107,7 @@ def save_debug(net, batch, frame_ids, ratio, out_dir, step: int = 0,
         if net.mesh is not None:
             def_vs = net._deform_garment_verts(
                 {"translator": net.params["translator"]}, scene,
-                [net.mesh.garment_vs[gi]], fids, ratio)[0]
+                [net.mesh.garment_vs[gi]], fids, ratio, gi0=gi)[0]
             fs = net.mesh.garment_fs[gi]
             for b in range(N):
                 scr = screen_with_cam_z(cam, def_vs[b])

@@ -125,5 +125,5 @@ class TestTrainStepParity:
                 k, info1[k], info2[k])
         # ray machinery converged identically
         for k, v in info1.items():
-            if k.endswith("_rayInfo"):
-                assert info2[k][0] == v[0]
+            if k.endswith("_rayBudget"):
+                assert info2[k] == v

@@ -264,6 +264,35 @@ class TestCompositePoints:
         np.testing.assert_allclose(g_p[:, :2], g_x[:, :2],
                                    rtol=2e-3, atol=1e-5)
 
+    def test_pallas_non_128_cap_gradients(self):
+        """r2 advice regression: caps that are not 128 multiples (or a
+        point count below cap) used to leave the backward kernel's tail
+        blocks uninitialized → NaN gradients. The prologue now pads the
+        candidate axis to a 128 multiple."""
+        from recmv_tpu.ops.rasterizer import composite_points
+
+        for cap, n_pts in ((192, 300), (256, 100)):
+            pts = self._random_cloud(n_pts, seed=6)
+            feats = jnp.asarray(np.random.RandomState(7)
+                                .rand(n_pts, 2).astype(np.float32))
+
+            def run(backend):
+                def loss(p):
+                    img = composite_points(p, 0.07, feats, (64, 64), tile=32,
+                                           sub=8, cap=cap, sub_cap=64,
+                                           backend=backend)
+                    return jnp.sum(img ** 2)
+
+                return jax.value_and_grad(loss)(pts)
+
+            l_x, g_x = run("xla")
+            l_p, g_p = run("pallas_interpret")
+            assert np.isfinite(np.asarray(g_p)).all(), f"cap={cap}"
+            np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(g_p)[:, :2],
+                                       np.asarray(g_x)[:, :2],
+                                       rtol=2e-3, atol=1e-5)
+
 
 class TestPallasMeshRaster:
     def test_matches_xla_backend(self):

@@ -89,6 +89,27 @@ class TestZbufModes:
         for mode in ("zbuff", "garment_zbuff", "zbuff_and"):
             assert bool(combine_visibility(mode, body_vis, garment_vis)[0, 0])
 
+    def test_downscaled_zbuf_same_gate(self):
+        """A 1/4-res z-buffer (the production default, cfg.zbuf_downscale)
+        must produce the same visibility gates as full-res: the buffer is
+        probed bilinearly with normalized uv, and the depth values are
+        unchanged — only the sampling density drops."""
+        from recmv_tpu.ops.rasterizer import screen_with_cam_z
+
+        cam = make_cam()
+        g_v, g_f = quad(z=1.2, half=0.2)
+        pts = jnp.asarray([[[0.0, 0.0, 0.6],       # behind garment panel
+                            [0.0, 0.0, 1.5],       # in front of everything
+                            [0.25, 0.25, 1.19]]])  # off-panel → bg fill
+        scr = screen_with_cam_z(cam, pts)
+        z = scr[..., 2]
+        thr = 0.05
+        for ds in (1, 4):
+            g_zbuf = mesh_zbuf_image(cam, g_v[None], g_f, (IMG, IMG),
+                                     tile=16, cap=64, downscale=ds)
+            vis = zbuf_visible(z, sample_zbuf(g_zbuf, scr, (IMG, IMG)), thr)
+            assert [bool(v) for v in np.asarray(vis[0])] == [False, True, True], ds
+
     def test_zbuf_background_fill(self):
         """Points projecting outside the mesh get the max-depth fill, so
         they count as visible (reference fills background with z_max)."""

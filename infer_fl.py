@@ -24,6 +24,20 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     p.add_argument("--curves-only", action="store_true",
                    help="export feature-curve tube meshes (infer_fl_curve)")
+    p.add_argument("--no-images", action="store_true",
+                   help="skip png renders (reference --nI)")
+    p.add_argument("--no-color", action="store_true",
+                   help="skip per-pixel RenderNet colors (reference --nColor)")
+    p.add_argument("--smooth", dest="smooth", action="store_true", default=None,
+                   help="force OneEuro pose/trans smoothing on")
+    p.add_argument("--no-smooth", dest="smooth", action="store_false",
+                   help="force smoothing off (default: on for subjects with "
+                        "SMOOTH_TRANS ranges, like the reference's smooth_trans "
+                        "gate, OptimGarmentNetwork.py:2984-2989)")
+    p.add_argument("--offset-filter", action="store_true",
+                   help="replace outlier frames' deformer latents with the "
+                        "last stable frame's (offset_filter, "
+                        "OptimGarmentNetwork.py:2519-2560)")
     return p.parse_args(argv)
 
 
@@ -78,10 +92,33 @@ def main(argv=None):
     inf = GarmentInference(net)
     frames = args.frames if args.frames else list(range(dataset.frame_num))
     ratio = {"sdfRatio": 1.0, "deformerRatio": 1.0, "renderRatio": 1.0}
+
+    # pose smoothing per the SMOOTH_TRANS subject table (smooth_trans,
+    # OptimGarmentNetwork.py:2567-2728, 2984-2989): on by default for
+    # subjects with configured jitter ranges, forceable either way
+    from recmv_tpu.config.constants import SMOOTH_TRANS
+    from recmv_tpu.core.inference import smooth_scene_poses
+
+    subject = osp.basename(args.data_root.rstrip("/"))
+    ranges = [r for r in SMOOTH_TRANS.get(subject, []) if len(r) == 2]
+    do_smooth = args.smooth if args.smooth is not None else bool(ranges)
+    if do_smooth:
+        net.sync_scene_to_dataset()
+        smooth_scene_poses(dataset, ranges=ranges or None)
+        net.invalidate_scene()
+        print(f"[infer] smoothed poses/trans "
+              f"({'ranges ' + str(ranges) if ranges else 'all frames'})")
+
     if args.curves_only:
         inf.infer_garment_fl(np.asarray(frames), ratio, osp.join(out, "fl_meshs"))
     else:
-        inf.infer_garment(np.asarray(frames), ratio, out)
+        if args.offset_filter:
+            inf.ensure_registration(ratio, out)
+            inf.offset_filter(ratio)
+        _, errors = inf.infer_garment(np.asarray(frames), ratio, out,
+                                      images=not args.no_images,
+                                      colors=not args.no_color)
+        np.save(osp.join(out, "maskE.npy"), errors["maskE"])
     print(f"[infer] wrote outputs under {out}")
     return inf
 

@@ -49,6 +49,7 @@ GARMENT_FL_MATCH = {
     "skirt": ["upper_bottom", "bottom_curve"],
     "tube": ["neck", "bottom_curve"],
     "no_sleeve_upper": ["neck", "left_cuff", "right_cuff", "bottom_curve"],
+    "upper_tube": ["neck", "upper_bottom"],
 }
 
 # Feature-line representation: garment type → curves that get explicit
@@ -62,6 +63,7 @@ FL_EXTRACT = {
     "tube": ["neck", "bottom_curve"],
     "skirt": ["bottom_curve"],
     "no_sleeve_upper": ["neck", "left_cuff", "right_cuff", "bottom_curve"],
+    "upper_tube": ["neck", "upper_bottom"],
 }
 
 WHOLE_BODY = ["long_pants", "long_sleeve_upper"]
@@ -99,6 +101,7 @@ TEMPLATE_GARMENT = {
     "lingteng_dance": ["short_sleeve_upper", "short_pants"],
     # built-in synthetic fixture scenes (recmv_tpu.data.synthetic)
     "synthetic-tube": ["tube"],
+    "synthetic-two": ["upper_tube", "skirt"],   # two-piece, shared waist
     # people_snapshot_public
     "female-1-casual": ["short_sleeve_upper", "long_pants"],
     "female-3-casual": ["long_sleeve_upper", "long_pants"],
@@ -136,6 +139,7 @@ FL_INFOS = {
     "anran_dance": ["neck", "left_cuff", "right_cuff", "upper_bottom", "bottom_curve"],
     "lingteng_dance": _PS_FL,
     "synthetic-tube": ["neck", "bottom_curve"],
+    "synthetic-two": ["neck", "upper_bottom", "bottom_curve"],
     "female-3-casual": _PS_FL,
     "female-3-sport": _PS_FL,
     "female-4-casual": _PS_FL,
@@ -192,6 +196,7 @@ GARMENT_COLOR_MAP = {
     "long_sleeve_upper": _UPPER_COLORS,
     "skirt": dict(back_ground=[125, 125, 125], bottom_curve=[155, 126, 151], upper_bottom=[211, 200, 42]),
     "tube": dict(back_ground=[125, 125, 125], bottom_curve=[155, 126, 151], neck=[211, 200, 42]),
+    "upper_tube": dict(back_ground=[125, 125, 125], upper_bottom=[211, 200, 42], neck=[250, 15, 16]),
     "no_sleeve_upper": _OPEN_COLORS,
     "dress": _OPEN_COLORS,
 }

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config.constants import FL_EXTRACT, SMOOTH_TRANS
+from ..config.constants import FL_EXTRACT, RENDER_COLORS, SMOOTH_TRANS
 from ..geometry.laplacian import laplacian_deform
 from ..geometry.mesh_utils import boundary_loops, vertex_normals
 from ..geometry.nricp import NricpConfig, nricp_fit
@@ -30,7 +30,12 @@ from ..models import camera as cam_mod
 from ..models.curves import curve_to_tube_mesh, curves_forward
 from ..models.garment_model import make_deform_fn, split_deform_conds
 from ..models.skinner import skinner_apply
-from ..ops.rasterizer import rasterize_mesh, screen_with_cam_z
+from ..ops.rasterizer import (
+    find_surface_points,
+    phong_render,
+    rasterize_mesh,
+    screen_with_cam_z,
+)
 from ..utils.io import save_obj
 
 
@@ -175,6 +180,13 @@ def register_garment(template, mc_verts, mc_faces, curves_by_name: dict,
     return out_v.astype(np.float32), out_f, labels
 
 
+def _imwrite(path, rgb_u8):
+    """RGB uint8 → disk (cv2 wants BGR)."""
+    import cv2
+
+    cv2.imwrite(path, rgb_u8[:, :, ::-1])
+
+
 class GarmentInference:
     """Drives per-frame extraction from a trained network."""
 
@@ -182,6 +194,7 @@ class GarmentInference:
         self.net = net
         self.registered = {}
         self.filter_list = {}   # garment → per-frame stable frame index
+        self._fn_cache = {}     # jitted inference pipelines (per chunk)
 
     def ensure_registration(self, ratio, save_dir: str | None = None,
                             sew_waist: bool = True):
@@ -205,17 +218,26 @@ class GarmentInference:
         curves = np.asarray(curves_forward(net.params["curves"], net.curve_statics))
         curves_by_name = {n: curves[i] for i, n in enumerate(net.curve_statics.fl_names)}
         reg_labels = {}
-        fresh = False
         for gi, gname in enumerate(net.statics.garment_names):
-            if gname in self.registered:
-                continue
             cache = osp.join(save_dir, f"registry_{gname}.obj") if save_dir else None
+            lcache = (osp.join(save_dir, f"registry_{gname}_labels.npz")
+                      if save_dir else None)
+            if gname in self.registered:
+                if gname not in reg_labels and lcache and osp.isfile(lcache):
+                    with np.load(lcache) as z:
+                        reg_labels[gname] = {k: z[k] for k in z.files}
+                continue
             if cache and osp.isfile(cache):
                 from ..utils.io import load_obj
 
                 self.registered[gname] = load_obj(cache)
+                # boundary labels are persisted alongside the cached obj so
+                # waist sewing can still run (or be verified) on cache hits
+                # instead of being silently skipped forever (r2 advice)
+                if lcache and osp.isfile(lcache):
+                    with np.load(lcache) as z:
+                        reg_labels[gname] = {k: z[k] for k in z.files}
                 continue
-            fresh = True
             tmpl = net.garment_templates[gi]
             nv = net.mesh.garment_n[gi]
             nf = net.mesh.garment_fn[gi]
@@ -227,11 +249,22 @@ class GarmentInference:
                 save_path=cache)
             self.registered[gname] = (rv, rf)
             reg_labels[gname] = labels
+            if lcache:
+                np.savez(lcache, **{k: np.asarray(v, np.int64)
+                                    for k, v in labels.items()})
+            if save_dir:
+                # a fresh registration invalidates any previous sewing
+                marker = osp.join(save_dir, "registry_sewn.marker")
+                if osp.isfile(marker):
+                    os.remove(marker)
 
         # waist sewing for two-garment subjects: deform the bottom so its
         # 'upper_bottom' loop lands on the upper's waist loop
         names = list(net.statics.garment_names)
-        if (sew_waist and fresh and len(names) == 2
+        marker = (osp.join(save_dir, "registry_sewn.marker")
+                  if save_dir else None)
+        already_sewn = marker is not None and osp.isfile(marker)
+        if (sew_waist and not already_sewn and len(names) == 2
                 and all(n in reg_labels for n in names)
                 and all("upper_bottom" in reg_labels[n] for n in names)):
             from ..geometry.laplacian import sew_upper_bottom
@@ -250,6 +283,8 @@ class GarmentInference:
             if save_dir:
                 save_obj(osp.join(save_dir, f"registry_{bot_name}.obj"),
                          new_bv, bf)
+                with open(marker, "w") as fh:
+                    fh.write("sewn\n")
         return self.registered
 
     def offset_filter(self, ratio, chunk: int = 8, sigma: float = 3.0,
@@ -317,14 +352,169 @@ class GarmentInference:
         return np.asarray(deform(jnp.broadcast_to(jnp.asarray(verts),
                                                   (N,) + verts.shape)))
 
-    def infer_garment(self, frame_ids, ratio, out_dir: str):
-        """Per-frame posed registered garments (+ body) → obj exports
-        (infer_garment, OptimGarmentNetwork.py:2950-3213)."""
+    # -- inference-time rendering ------------------------------------------
+
+    def _garment_color(self, gi):
+        cmap = RENDER_COLORS.get(
+            getattr(self.net.dataset, "garment_type", ""), None)
+        if cmap and gi < len(cmap) and len(cmap[gi]) == 3:
+            return np.asarray(cmap[gi], np.float32)
+        fallback = [[255, 99, 128], [193, 210, 240], [170, 170, 255]]
+        return np.asarray(fallback[gi % len(fallback)], np.float32)
+
+    def _phong_u8(self, cam, verts, faces, color_rgb, light_loc=None):
+        """(V, 3) world verts + flat color → (H, W, 3) u8 + hit mask."""
         net = self.net
-        os.makedirs(osp.join(out_dir, "meshs"), exist_ok=True)
-        os.makedirs(osp.join(out_dir, "smpl_meshs"), exist_ok=True)
+        W, H = net.statics.image_size
+        cp = cam_mod.cam_pos(cam)
+        light = cp if light_loc is None else jnp.asarray(light_loc, jnp.float32)
+        vc = jnp.broadcast_to(jnp.asarray(color_rgb, jnp.float32) / 255.0,
+                              verts.shape)
+        rgb, hit = phong_render(cam, jnp.asarray(verts),
+                                jnp.asarray(np.asarray(faces), jnp.int32), vc,
+                                (H, W), light, cp, tile=net.cfg.raster_tile,
+                                cap=net.cfg.raster_cap_mesh)
+        img = np.asarray(jnp.clip(rgb * 255.0, 0, 255)).astype(np.uint8)
+        return img, np.asarray(hit)
+
+    def _color_chunk_fn(self, chunk):
+        """Jitted per-pixel color pipeline at a fixed chunk size:
+        OptimizeGarmentSurfaceSinlge ×30 refinement + SDF normal +
+        cardinal rays + RenderNet (compute_netRender_color parity,
+        OptimGarmentNetwork.py:3186-3207)."""
+        key = ("color_chunk", chunk)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        net = self.net
+
+        from ..models.deformer import cardinal_rays_from_jac, deformer_jacobian
+        from ..models.sdf import sdf_apply, sdf_gradient, sdf_value
+        from ..models.render_net import render_net_apply
+        from .surface_ps import optimize_surface_points
+
+        def fn(gsdf, translator, render, skinner, cond, poses, trans,
+               origin, rays, seeds, valid, r, ang):
+            mp = {"translator": translator, "skinner": skinner}
+            b_inds = jnp.zeros((chunk,), jnp.int32)
+            deform = make_deform_fn(mp, net.statics, cond, poses, trans,
+                                    r["deformerRatio"], batch_inds=b_inds)
+            sdf_fn = lambda p: sdf_value(gsdf, net.statics.garment_sdf, p,
+                                         r["sdfRatio"])
+            pts, conv = optimize_surface_points(
+                sdf_fn, deform, origin, rays, seeds, valid,
+                dthreshold=1e-4, athreshold_deg=ang, w1=3.05, w2=1.0,
+                times=30)
+            _, feat = sdf_apply(gsdf, net.statics.garment_sdf, pts,
+                                r["sdfRatio"])
+            nx = sdf_gradient(gsdf, net.statics.garment_sdf, pts, r["sdfRatio"])
+            nx = nx / jnp.clip(jnp.linalg.norm(nx, axis=-1, keepdims=True),
+                               1e-9, None)
+            jac = deformer_jacobian(deform, pts)
+            crays, _ = cardinal_rays_from_jac(jac, rays)
+            cols = render_net_apply(render, net.statics.render, pts, nx,
+                                    crays, feat, ratio=r["renderRatio"])
+            return cols, conv
+
+        self._fn_cache[key] = jax.jit(fn)
+        return self._fn_cache[key]
+
+    def _colors_image(self, gi, cano_v, faces, posed_v, fid, ratio,
+                      chunk: int = 8192):
+        """Per-pixel RenderNet color image of one posed garment frame
+        (white background), via surface refinement at every hit pixel."""
+        net = self.net
+        scene = net.scene_tree()
+        r = net._ratio_dict(ratio)
+        cam = net._camera(scene)
+        W, H = net.statics.image_size
+        if net.ang_thred is None:
+            net.ang_thred = cam_mod.ang_threshold(cam)
+
+        scr = screen_with_cam_z(cam, jnp.asarray(posed_v))
+        frag = rasterize_mesh(scr, jnp.asarray(np.asarray(faces), jnp.int32),
+                              (H, W), tile=net.cfg.raster_tile,
+                              cap=net.cfg.raster_cap_mesh)
+        hit, seeds, _ = find_surface_points(
+            frag, jnp.asarray(cano_v), jnp.asarray(np.asarray(faces), jnp.int32))
+        hit_np = np.asarray(hit)
+        rows, cols_px = np.nonzero(hit_np)
+        M = len(rows)
+        canvas = np.full((H, W, 3), 255, np.uint8)
+        if M == 0:
+            return canvas
+        pix = jnp.asarray(
+            np.stack([cols_px, rows, np.ones_like(cols_px)], -1), jnp.float32)
+        rays = cam_mod.view_rays(cam, pix)
+        seeds = jnp.asarray(np.asarray(seeds)[rows, cols_px])
+        origin = cam_mod.cam_pos(cam)
+
+        fids = jnp.asarray([fid], jnp.int32)
+        conds = split_deform_conds(scene["conds"]["deformer"][fids],
+                                   net.statics.garment_size)
+        fn = self._color_chunk_fn(chunk)
+        out = np.empty((M, 3), np.float32)
+        for s in range(0, M, chunk):
+            e = min(s + chunk, M)
+            pad = chunk - (e - s)
+            sl = lambda a: jnp.pad(a[s:e], ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            valid = jnp.arange(chunk) < (e - s)
+            cols_rgb, _ = fn(net.params["garment_sdfs"][gi],
+                             net.params["translator"], net.params["render"],
+                             net.params["skinner"], conds[gi + 1],
+                             scene["poses"][fids], scene["trans"][fids],
+                             origin, sl(rays), sl(seeds), valid, r,
+                             float(net.ang_thred))
+            out[s:e] = np.asarray(cols_rgb)[: e - s]
+        rgb = np.clip((out / 2.0 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+        canvas[rows, cols_px] = rgb
+        return canvas
+
+    def infer_garment(self, frame_ids, ratio, out_dir: str,
+                      images: bool = True, colors: bool = True,
+                      color_chunk: int = 8192):
+        """Per-frame posed registered garments (+ body) → the reference's
+        five export families (infer_garment, OptimGarmentNetwork.py:
+        2950-3213 + infer_fl.py:227-280):
+
+        - ``meshs/NNNN_<garment>.obj`` posed garment meshes (+ ``.png``
+          per-garment Phong renders when ``images``),
+        - ``render/NNNN.png`` merged Phong render of all garments,
+        - ``def1meshs/NNNN_<garment>.png`` offset-only (translator, no
+          LBS) mesh rendered from the reference's fixed frontal camera at
+          the mean translation with a point light,
+        - ``colors/NNNN_<garment>.png`` per-pixel RenderNet colors after
+          30-step surface refinement at every hit pixel (when ``colors``),
+        - ``smpl_meshs/NNNN.obj`` posed SMPL bodies.
+
+        Returns (outputs, errors) where errors['maskE'] is the per-frame
+        mask IoU error of the merged render vs the dataset mask."""
+        from ..models.translator import translator_apply
+
+        net = self.net
+        for sub in ("meshs", "smpl_meshs") + (
+                ("render", "def1meshs") if images else ()) + (
+                ("colors",) if colors else ()):
+            os.makedirs(osp.join(out_dir, sub), exist_ok=True)
         self.ensure_registration(ratio, out_dir)
+        scene = net.scene_tree()
+        r = net._ratio_dict(ratio)
+        cam = net._camera(scene)
+        fids_np = np.asarray(frame_ids)
+        N = len(fids_np)
+
+        # reference def1 render camera: fixed frontal R=diag(-1,1,-1)
+        # (quat [0,0,1,0]) at the mean translation, point light at
+        # (0, 1, T_z) (OptimGarmentNetwork.py:3178-3183)
+        mean_t = np.asarray(scene["trans"]).mean(0)
+        def1_cam = cam_mod.Camera(
+            focal=cam.focal, principal=cam.principal,
+            quat=jnp.asarray([0.0, 0.0, 1.0, 0.0]),
+            trans=jnp.asarray(mean_t, jnp.float32),
+            image_size=cam.image_size)
+        def1_light = [0.0, 1.0, float(mean_t[2])]
+
         outputs = []
+        posed_all = []
         for gi, gname in enumerate(net.statics.garment_names):
             rv, rf = self.registered[gname]
             cond = None
@@ -332,28 +522,87 @@ class GarmentInference:
                 # substitute outlier frames' deformer latents with the
                 # last stable frame's (offset_filter consumption,
                 # OptimGarmentNetwork.py:2777)
-                cond_ids = np.asarray(self.filter_list[gname])[np.asarray(frame_ids)]
-                scene_f = net.scene_tree()
+                cond_ids = np.asarray(self.filter_list[gname])[fids_np]
                 conds_f = split_deform_conds(
-                    scene_f["conds"]["deformer"][jnp.asarray(cond_ids)],
+                    scene["conds"]["deformer"][jnp.asarray(cond_ids)],
                     net.statics.garment_size)
                 cond = conds_f[gi + 1]
             posed = self._deform(jnp.asarray(rv), gi, frame_ids, ratio, cond=cond)
-            for k, fid in enumerate(np.asarray(frame_ids)):
-                save_obj(osp.join(out_dir, "meshs", f"{int(fid):04d}_{gname}.obj"),
+            posed_all.append(posed)
+            color = self._garment_color(gi)
+
+            # def1: translator offsets only, no skeletal transform
+            if images:
+                conds = split_deform_conds(
+                    scene["conds"]["deformer"][jnp.asarray(fids_np)],
+                    net.statics.garment_size)
+                pts = jnp.asarray(rv)
+                pb = jnp.broadcast_to(pts, (N,) + pts.shape)
+                cb = jnp.broadcast_to(conds[gi + 1][:, None, :],
+                                      (N, pts.shape[0],
+                                       conds[gi + 1].shape[-1]))
+                def1_vs, _ = translator_apply(
+                    net.params["translator"], net.statics.translator, pb, cb,
+                    r["deformerRatio"])
+                def1_vs = np.asarray(def1_vs)
+
+            for k, fid in enumerate(fids_np):
+                stem = f"{int(fid):04d}_{gname}"
+                save_obj(osp.join(out_dir, "meshs", stem + ".obj"),
                          posed[k], rf)
+                if images:
+                    img, _ = self._phong_u8(cam, posed[k], rf, color)
+                    _imwrite(osp.join(out_dir, "meshs", stem + ".png"), img)
+                    d1, _ = self._phong_u8(def1_cam, def1_vs[k], rf, color,
+                                           light_loc=def1_light)
+                    _imwrite(osp.join(out_dir, "def1meshs", stem + ".png"), d1)
+                if colors:
+                    cimg = self._colors_image(gi, rv, rf, posed[k], int(fid),
+                                              ratio, chunk=color_chunk)
+                    _imwrite(osp.join(out_dir, "colors", stem + ".png"), cimg)
             outputs.append(posed)
+
+        # merged render of all garments + mask IoU error
+        errors = {"maskE": np.full(N, -1.0)}
+        if images:
+            offs = np.cumsum([0] + [self.registered[g][0].shape[0]
+                                    for g in net.statics.garment_names])
+            all_f = np.concatenate(
+                [np.asarray(self.registered[g][1]) + offs[i]
+                 for i, g in enumerate(net.statics.garment_names)])
+            all_c = np.concatenate(
+                [np.broadcast_to(self._garment_color(i),
+                                 (self.registered[g][0].shape[0], 3))
+                 for i, g in enumerate(net.statics.garment_names)])
+            W, H = net.statics.image_size
+            cp = cam_mod.cam_pos(cam)
+            for k, fid in enumerate(fids_np):
+                mv = np.concatenate([np.asarray(p[k]) for p in posed_all])
+                rgb, hit = phong_render(
+                    cam, jnp.asarray(mv), jnp.asarray(all_f, jnp.int32),
+                    jnp.asarray(all_c / 255.0), (H, W), cp, cp,
+                    tile=net.cfg.raster_tile, cap=net.cfg.raster_cap_mesh)
+                _imwrite(osp.join(out_dir, "render", f"{int(fid):04d}.png"),
+                         np.asarray(jnp.clip(rgb * 255, 0, 255)).astype(np.uint8))
+                try:
+                    gt = self.net.dataset[int(fid)][1]["mask"] > 0
+                    hm = np.asarray(hit)
+                    inter = (hm & gt).sum()
+                    union = (hm | gt).sum()
+                    errors["maskE"][k] = 1.0 - inter / max(union, 1)
+                except Exception:
+                    pass
+
         # posed body (LBS only)
-        scene = net.scene_tree()
-        fids = jnp.asarray(np.asarray(frame_ids), jnp.int32)
+        fids = jnp.asarray(fids_np, jnp.int32)
         body = skinner_apply(net.params["skinner"],
                              jnp.broadcast_to(net.tmp_body_vs,
                                               (len(fids),) + net.tmp_body_vs.shape),
                              scene["poses"][fids], scene["trans"][fids])
-        for k, fid in enumerate(np.asarray(frame_ids)):
+        for k, fid in enumerate(fids_np):
             save_obj(osp.join(out_dir, "smpl_meshs", f"{int(fid):04d}.obj"),
                      np.asarray(body[k]), np.asarray(net.tmp_body_fs))
-        return outputs
+        return outputs, errors
 
     def infer_garment_fl(self, frame_ids, ratio, out_dir: str,
                          curve_radius: float = 0.002, num_joints: int = 6):

@@ -38,6 +38,30 @@ from ..ops.rasterizer import rasterize_mesh, screen_with_cam_z
 GARMENT_OFFSET = 0.025
 TORSO_Y = (-0.12, 0.30)
 
+# Two-piece scene ("synthetic-two", TEMPLATE_GARMENT upper_tube+skirt):
+# the skirt (small offset) tucks UNDER the flared upper (large offset) in
+# the overlap band, so the skirt's waist curve is occluded by the upper —
+# the exact inter-garment case zbuff_and / garment_zbuff exist for.
+UPPER2_OFFSET = 0.045
+UPPER2_Y = (-0.12, 0.30)
+SKIRT_OFFSET = 0.025
+SKIRT_Y = (-0.50, -0.05)
+
+# scene type → [(garment piece name, offset, y band, ATR parsing label)]
+SCENE_GARMENTS = {
+    "synthetic-tube": [("tube", GARMENT_OFFSET, TORSO_Y, 4)],
+    "synthetic-two": [("upper_tube", UPPER2_OFFSET, UPPER2_Y, 4),
+                      ("skirt", SKIRT_OFFSET, SKIRT_Y, 5)],
+}
+# scene type → [(curve name, ring height, ring offset)]
+SCENE_CURVES = {
+    "synthetic-tube": [("neck", TORSO_Y[1] - 0.01, GARMENT_OFFSET),
+                       ("bottom_curve", TORSO_Y[0] + 0.01, GARMENT_OFFSET)],
+    "synthetic-two": [("neck", UPPER2_Y[1] - 0.01, UPPER2_OFFSET),
+                      ("upper_bottom", UPPER2_Y[0] + 0.01, UPPER2_OFFSET),
+                      ("bottom_curve", SKIRT_Y[0] + 0.01, SKIRT_OFFSET)],
+}
+
 
 def apose(init_pose_type: int = 0) -> np.ndarray:
     """The reference's template A-pose (utils/utils.py:68-99, type 0)."""
@@ -49,23 +73,25 @@ def apose(init_pose_type: int = 0) -> np.ndarray:
     return pose
 
 
-def garment_sdf(pts: np.ndarray) -> np.ndarray:
-    """Tube garment: body offset surface ∩ torso slab (closed via CSG)."""
-    body = synthetic_body_sdf(pts) - GARMENT_OFFSET
-    slab = np.maximum(TORSO_Y[0] - pts[:, 1], pts[:, 1] - TORSO_Y[1])
+def garment_sdf(pts: np.ndarray, offset: float = GARMENT_OFFSET,
+                band=TORSO_Y) -> np.ndarray:
+    """Tube garment: body offset surface ∩ height slab (closed via CSG)."""
+    body = synthetic_body_sdf(pts) - offset
+    slab = np.maximum(band[0] - pts[:, 1], pts[:, 1] - band[1])
     return np.maximum(body, slab)
 
 
-def garment_mesh(res: int = 97):
+def garment_mesh(res: int = 97, offset: float = GARMENT_OFFSET, band=TORSO_Y):
     lin = np.linspace(-0.9, 0.9, res, dtype=np.float32)
     z, y, x = np.meshgrid(lin, lin, lin, indexing="ij")
     pts = np.stack([x, y, z], -1).reshape(-1, 3)
-    vol = garment_sdf(pts).reshape(res, res, res)
+    vol = garment_sdf(pts, offset, band).reshape(res, res, res)
     step = lin[1] - lin[0]
     return marching_cubes_np(vol, 0.0, (-0.9, -0.9, -0.9), (step,) * 3)
 
 
-def boundary_ring(y_level: float, n: int = 100):
+def boundary_ring(y_level: float, n: int = 100,
+                  offset: float = GARMENT_OFFSET):
     """Ring on the garment surface at a fixed height: radial sphere trace
     in the xz-plane from outside."""
     ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
@@ -73,7 +99,7 @@ def boundary_ring(y_level: float, n: int = 100):
     pts = dirs * 1.2
     pts[:, 1] = y_level
     for _ in range(48):
-        sd = synthetic_body_sdf(pts) - GARMENT_OFFSET
+        sd = synthetic_body_sdf(pts) - offset
         pts = pts - dirs * sd[:, None] * 0.9
         pts[:, 1] = y_level
     return pts
@@ -92,8 +118,10 @@ def make_camera_params(image_size: int):
 
 def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
                    yaw_range: float = 2 * np.pi, skinner_res=(49, 81, 25),
-                   raster_cap: int = 1024):
-    """Create a full scene. Returns the scene directory."""
+                   raster_cap: int = 1024, garment_type: str = "synthetic-tube"):
+    """Create a full scene (``garment_type``: 'synthetic-tube' single
+    garment, 'synthetic-two' upper_tube+skirt with a shared occluded
+    waist). Returns the scene directory."""
     os.makedirs(out_dir, exist_ok=True)
     for sub in ("imgs", "masks", "parsing_SCH_ATR", "featurelines", "normals", "gt_meshes"):
         os.makedirs(osp.join(out_dir, sub), exist_ok=True)
@@ -103,9 +131,11 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
     sk, body_verts, body_faces = initial_lbs_skinner(
         body, jnp.zeros(10), pose0, resolution=skinner_res
     )
-    gv, gf = garment_mesh()
-    ring_top = boundary_ring(TORSO_Y[1] - 0.01)
-    ring_bot = boundary_ring(TORSO_Y[0] + 0.01)
+    pieces = SCENE_GARMENTS[garment_type]
+    gmeshes = [garment_mesh(offset=off, band=band)
+               for _, off, band, _ in pieces]
+    rings = [(name, boundary_ring(ylv, offset=off))
+             for name, ylv, off in SCENE_CURVES[garment_type]]
 
     campar = make_camera_params(image_size)
     cam = cam_mod.make_camera(
@@ -122,10 +152,17 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
     trans = []
     H = W = image_size
     n_body = len(np.asarray(body_verts))
-    n_gar = len(gv)
 
-    all_v = np.concatenate([np.asarray(body_verts), gv], 0)
-    all_f = np.concatenate([np.asarray(body_faces), gf + n_body], 0)
+    all_v = np.asarray(body_verts)
+    all_f = np.asarray(body_faces)
+    face_lo = [len(all_f)]          # face-id range per garment piece
+    for gv, gf in gmeshes:
+        all_f = np.concatenate([all_f, gf + len(all_v)], 0)
+        all_v = np.concatenate([all_v, gv], 0)
+        face_lo.append(len(all_f))
+    gt_faces = np.concatenate(
+        [gf + sum(len(g[0]) for g in gmeshes[:i])
+         for i, (_, gf) in enumerate(gmeshes)], 0)
 
     for fid in range(n_frames):
         pose = pose0.copy()
@@ -137,16 +174,14 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
             skinner_apply(sk, jnp.asarray(all_v)[None], jnp.asarray(pose)[None],
                           jnp.zeros((1, 3)))
         )[0]
-        pb = posed[:n_body]
         pg = posed[n_body:]
 
-        sv = cam_mod  # readability
         scr = np.asarray(screen_with_cam_z(cam, jnp.asarray(posed)))
         frag = rasterize_mesh(jnp.asarray(scr), jnp.asarray(all_f, jnp.int32),
                               (H, W), tile=32, cap=raster_cap)
         pix2face = np.asarray(frag.pix_to_face[..., 0])
         mask = pix2face >= 0
-        gar_hit = pix2face >= len(body_faces)
+        gar_hit = pix2face >= face_lo[0]
 
         # normals: camera-space face normals of the hit faces
         fn = np.asarray(compute_fnorms(jnp.asarray(posed), jnp.asarray(all_f, jnp.int32)))
@@ -161,11 +196,13 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
         img = np.zeros((H, W, 3), np.float32)
         shade = np.clip(nimg[..., 2], 0, 1)[..., None]
         img[mask & ~gar_hit] = (np.asarray([0.75, 0.6, 0.5]) * shade[mask & ~gar_hit])
-        img[gar_hit] = np.asarray([0.25, 0.35, 0.8]) * shade[gar_hit]
-
+        tints = ([0.25, 0.35, 0.8], [0.7, 0.3, 0.35], [0.3, 0.7, 0.4])
         parsing = np.zeros((H, W), np.uint8)
         parsing[mask] = 9   # skin → a label outside ATR garment groups
-        parsing[gar_hit] = 4  # Upper-clothes
+        for i, (_, _, _, atr_label) in enumerate(pieces):
+            sel = (pix2face >= face_lo[i]) & (pix2face < face_lo[i + 1])
+            img[sel] = np.asarray(tints[i % len(tints)]) * shade[sel]
+            parsing[sel] = atr_label
 
         cv2.imwrite(osp.join(out_dir, f"imgs/{fid}.png"),
                     (img[:, :, ::-1] * 255).astype(np.uint8))
@@ -179,7 +216,7 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
 
         # feature lines: project posed rings
         shapes = []
-        for name, ring in (("neck", ring_top), ("bottom_curve", ring_bot)):
+        for name, ring in rings:
             posed_ring = np.asarray(
                 skinner_apply(sk, jnp.asarray(ring)[None], jnp.asarray(pose)[None],
                               jnp.zeros((1, 3)))
@@ -191,7 +228,8 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
         with open(osp.join(out_dir, f"featurelines/{fid}.json"), "w") as f:
             json.dump({"shapes": shapes}, f)
 
-        np.savez(osp.join(out_dir, f"gt_meshes/{fid}.npz"), verts=pg, faces=gf)
+        np.savez(osp.join(out_dir, f"gt_meshes/{fid}.npz"), verts=pg,
+                 faces=gt_faces)
 
     np.savez(
         osp.join(out_dir, "smpl_rec.npz"),

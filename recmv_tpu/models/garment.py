@@ -171,6 +171,11 @@ def procedural_template(garment_name: str, body_verts: np.ndarray,
     elif garment_name in ("no_sleeve_upper", "tube"):
         keep = torso
         curve_y = {"neck": neck_y, "bottom_curve": hip_y}
+    elif garment_name == "upper_tube":
+        # sleeveless torso tube whose bottom loop is a WAIST shared with a
+        # bottom garment (two-piece subjects — sew_upper_bottom target)
+        keep = torso
+        curve_y = {"neck": neck_y, "upper_bottom": hip_y}
     elif garment_name == "dress":
         keep = (y > knee_y) & (y < neck_y)
         keep &= ~((np.abs(x) > abs(elb_l[0])) & (y > hip_y))

@@ -55,3 +55,39 @@ def tiny_scene_net(tmp_path_factory):
     ckpt = os.path.join(scene, "init.ckpt")
     net.save_checkpoint(ckpt, 0)
     return net, dataset, ckpt
+
+
+@pytest.fixture(scope="session")
+def two_garment_net(tmp_path_factory):
+    """Two-piece scene (upper_tube + skirt, shared occluded waist —
+    data/synthetic.py 'synthetic-two') with fl_visible_method=zbuff_and:
+    the joint path the reference's flagship subjects use
+    (utils/constant.py:92-130, anran_tic et al.)."""
+    from recmv_tpu.config import ConfigFactory
+    from recmv_tpu.core.builder import build_opt_net
+    from recmv_tpu.core.network import TrainConfig
+    from recmv_tpu.data.dataset import get_dataset_and_loader
+    from recmv_tpu.data.synthetic import generate_scene
+
+    scene = str(tmp_path_factory.mktemp("two") / "twopiece")
+    generate_scene(scene, n_frames=4, image_size=64, skinner_res=(17, 25, 9),
+                   garment_type="synthetic-two")
+    conf = ConfigFactory.parse_file(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "synthetic",
+                     "smoke_two.conf"))
+    dataset, sampler = get_dataset_and_loader(
+        scene, {"deformer": 384, "render": 256}, 2, shuffle=False,
+        garment_type="synthetic-two", data_type="synthe")
+    cfg = TrainConfig(sample_pix=64, point_radius=0.02, remesh_intersect=8,
+                      batch_size=2, image_size=(64, 64),
+                      mc_capacity_v=1 << 12, mc_capacity_f=1 << 13,
+                      raster_tile=16, raster_cap_mesh=128,
+                      raster_cap_points=128, points_per_pixel=4,
+                      solver_times=4, surface_sample=64)
+    net = build_opt_net(conf, dataset, os.path.join(scene, "result"),
+                        resolutions=((7, 9, 5), (13, 17, 9)),
+                        skinner_res=(17, 25, 9), train_cfg=cfg)
+    net.initialize_tmp_sdf(nepochs=8, save_dir=None, fl_iters=2)
+    ckpt = os.path.join(scene, "init.ckpt")
+    net.save_checkpoint(ckpt, 0)
+    return net, dataset, ckpt

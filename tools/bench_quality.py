@@ -139,7 +139,10 @@ def main(argv=None):
         t0 = time.time()
         inf.ensure_registration(ratio, out_dir)
         t_reg = time.time() - t0
-        inf.infer_garment(np.arange(dataset.frame_num), ratio, out_dir)
+        # mesh exports only (the reference's --nI --nColor mode): the
+        # quality bench scores geometry; renders get their own e2e test
+        inf.infer_garment(np.arange(dataset.frame_num), ratio, out_dir,
+                          images=False, colors=False)
     finally:
         inf_mod.register_garment = orig
 

@@ -109,6 +109,12 @@ def main(argv=None):
         print(f"[infer] smoothed poses/trans "
               f"({'ranges ' + str(ranges) if ranges else 'all frames'})")
 
+    if args.quality == "higher":
+        # 513³ inference grids (reference train.py:47-79 `higher`): seg3d
+        # on device, extraction through the native host marching cubes
+        print("[infer] extracting at 513³ via native host MC ...")
+        net.marching_cube_update_host(ratio)
+
     if args.curves_only:
         inf.infer_garment_fl(np.asarray(frames), ratio, osp.join(out, "fl_meshs"))
     else:

@@ -74,7 +74,6 @@ class MeshState:
     garment_fs: list            # per garment (capF, 3)
     garment_n: list             # vert counts
     garment_fn: list            # face counts
-    garment_edges: list         # unique edges per garment (for reg losses)
 
 
 @dataclass
@@ -104,6 +103,13 @@ class TrainConfig:
     # back-to-back with a single device sync at the end of the step —
     # t_* then measure dispatch, not compute.
     profile_phases: bool = False
+
+
+@partial(jax.jit, static_argnames=("cv", "cf"))
+def _trim_mesh(v, f, cv, cf):
+    """Lane-major (3, cap) MC buffers → (cap', 3) trimmed, one executable
+    (eager ops each cost a remote-compile round trip over axon)."""
+    return v[:, :cv].T, jnp.asarray(f[:, :cf].T, jnp.int32)
 
 
 class GarmentOptimNetwork:
@@ -292,6 +298,81 @@ class GarmentOptimNetwork:
             out.append((v, f, int(nv), int(nf)))
         return out
 
+    def _get_vol_fn(self, cfg, static):
+        """Jitted seg3d pyramid returning the dense finest volume (no MC)
+        — feeds the host marching cubes for very large inference grids."""
+        key = ("vol", cfg, static)
+        if key not in self._extract_cache:
+
+            @jax.jit
+            def vol_fn(sdf_params, ratio):
+                q = lambda pts: sdf_value(sdf_params, static, pts, ratio)
+                return seg3d_forward(q, cfg)
+
+            self._extract_cache[key] = vol_fn
+        return self._extract_cache[key]
+
+    def discretize_sdf_host(self, ratio, balance_value: float = 0.0,
+                            seg3d_cfg=None, max_verts: int = 1 << 22,
+                            max_faces: int = 1 << 23):
+        """Seg3d on device + NATIVE HOST marching cubes — the reference's
+        513³ `higher` inference grids (train.py:47-79) where fixed-
+        capacity device MC buffers would waste HBM. Returns per net
+        (verts (V,3) f32, faces (F,3) i64) trimmed numpy meshes."""
+        from ..native import marching_cubes_host
+        from ..ops.seg3d import final_grid_spacing
+
+        cfg = seg3d_cfg or self.seg3d_cfg
+        r = self._ratio_dict(ratio)["sdfRatio"]
+        spacing, origin = final_grid_spacing(cfg)
+        out = []
+        nets = [("body", None)] + [(n, i) for i, n in
+                                   enumerate(self.statics.garment_names)]
+        for name, gi in nets:
+            static = self.statics.sdf if gi is None else self.statics.garment_sdf
+            prm = self.params["sdf"] if gi is None else self.params["garment_sdfs"][gi]
+            vol = np.asarray(self._get_vol_fn(cfg, static)(prm, r))
+            v, f = marching_cubes_host(vol, balance_value,
+                                       origin=np.asarray(origin),
+                                       spacing=np.asarray(spacing),
+                                       max_verts=max_verts,
+                                       max_faces=max_faces)
+            out.append((v, f))
+        return out
+
+    def marching_cube_update_host(self, ratio, seg3d_cfg=None):
+        """marching_cube_update via the host MC path: fills the same
+        MeshState (device buffers at hysteresis caps) so registration /
+        inference downstream is unchanged."""
+        meshes = self.discretize_sdf_host(ratio, -self.sdf_shrink,
+                                          seg3d_cfg=seg3d_cfg)
+        body = meshes[0]
+        garments = meshes[1:]
+        assert len(body[0]) > 0, "tmp sdf vanished"
+
+        def cap_pad(v, f):
+            cv = 1 << int(np.ceil(np.log2(max(len(v), 1) * 1.15 + 1)))
+            cf = 1 << int(np.ceil(np.log2(max(len(f), 1) * 1.15 + 1)))
+            vp = np.zeros((max(cv, 2048), 3), np.float32)
+            vp[: len(v)] = v
+            fp = np.zeros((max(cf, 2048), 3), np.int32)
+            fp[: len(f)] = f
+            return jnp.asarray(vp), jnp.asarray(fp)
+
+        b_v, b_f = cap_pad(*body)
+        g_pad = [cap_pad(*g) for g in garments]
+        self.mesh = MeshState(
+            body_vs=b_v, body_fs=b_f, body_n=len(body[0]),
+            garment_vs=[t[0] for t in g_pad],
+            garment_fs=[t[1] for t in g_pad],
+            garment_n=[len(g[0]) for g in garments],
+            garment_fn=[len(g[1]) for g in garments],
+        )
+        self.remesh_time = 1.0 + np.floor(self.remesh_time)
+        self.vert_opt_state = self.vert_opt.init(tuple(self.mesh.garment_vs))
+        if self.params.get("curves"):
+            self.curve_opt_state = self.curve_opt.init(self.params["curves"])
+
     def marching_cube_update(self, ratio):
         """Extract fresh explicit meshes and reset their optimizers
         (marching_cube_update, OptimGarmentNetwork.py:678-741).
@@ -300,14 +381,12 @@ class GarmentOptimNetwork:
         above 1.5x the live count) so downstream jitted work scales with
         the real mesh, not the MC extraction ceiling; shapes stay stable
         across remeshes unless the mesh grows past the slack."""
-        from ..geometry.mesh_utils import compute_edges_unique
-
         import sys as _sys, time as _t
 
         _sys.stderr.write("[net] remesh: discretizing SDFs...\n"); _sys.stderr.flush()
         _t0 = _t.time()
         meshes = self.discretize_sdf(ratio, -self.sdf_shrink)
-        _sys.stderr.write(f"[net] remesh done in {_t.time()-_t0:.1f}s\n"); _sys.stderr.flush()
+        _t1 = _t.time()
         body = meshes[0]
         garments = meshes[1:]
         assert body[2] > 0, "tmp sdf vanished"
@@ -321,10 +400,13 @@ class GarmentOptimNetwork:
 
         def trim(v, f, nv, nf):
             # marching_cubes returns lane-major (3, cap); trim then
-            # transpose so only the small (cap, 3) buffer materializes
+            # transpose so only the small (cap, 3) buffer materializes.
+            # One jitted call — eager slice/transpose ops each cost a
+            # remote-compile round trip over the axon tunnel (~12 s of
+            # the r3 warm remesh was this).
             cv = min(cap_of(nv), v.shape[1])
             cf = min(cap_of(nf), f.shape[1])
-            return v[:, :cv].T, jnp.asarray(f[:, :cf].T, jnp.int32)
+            return _trim_mesh(v, f, cv, cf)
 
         b_v, b_f = trim(*body)
         g_trim = [trim(*g) for g in garments]
@@ -334,16 +416,17 @@ class GarmentOptimNetwork:
             garment_fs=[t[1] for t in g_trim],
             garment_n=[g[2] for g in garments],
             garment_fn=[g[3] for g in garments],
-            garment_edges=[
-                jnp.asarray(compute_edges_unique(np.asarray(g[1][: g[3]])), jnp.int32)
-                for g in garments
-            ],
         )
         self.remesh_time = 1.0 + np.floor(self.remesh_time)
         self.vert_opt_state = self.vert_opt.init(tuple(self.mesh.garment_vs))
         if self.params.get("curves"):
             self.curve_opt_state = self.curve_opt.init(self.params["curves"])
         self.info["remesh"] = self.remesh_time
+        jax.block_until_ready(self.mesh.garment_vs)
+        _sys.stderr.write(f"[net] remesh done: extract {_t1-_t0:.1f}s "
+                          f"trim+reset {_t.time()-_t1:.1f}s caps="
+                          f"{[t[0].shape[0] for t in g_trim]}\n")
+        _sys.stderr.flush()
 
     # ------------------------------------------------------------------
     # shared sub-steps

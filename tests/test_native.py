@@ -44,6 +44,40 @@ class TestNativeMC:
         assert len(v) > 4000
         np.testing.assert_allclose(np.linalg.norm(v, axis=1), 0.6, atol=0.004)
 
+    @pytest.mark.slow
+    def test_513_grid(self, lib):
+        """The reference's `higher` inference resolution
+        (/root/reference/train.py:47-79): 513³ extraction through the
+        native path succeeds and matches the analytic radius."""
+        vol, origin, spacing = sphere_vol(513)
+        v, f = lib.marching_cubes_host(vol, 0.0, origin, spacing,
+                                       max_verts=1 << 22, max_faces=1 << 23)
+        assert len(v) > 500_000 and len(f) > 1_000_000
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 0.6, atol=5e-5)
+
+
+class TestHostExtractionPipeline:
+    def test_update_host_matches_device(self, lib, tiny_scene_net):
+        """net.marching_cube_update_host (seg3d → native host MC, the
+        infer_fl --quality higher path) produces the same surfaces as the
+        device MC path on the trained tiny net."""
+        import jax.numpy as jnp
+
+        from recmv_tpu.ops.knn import knn
+
+        net, dataset, ckpt = tiny_scene_net
+        net.load_checkpoint(ckpt)
+        ratio = {"sdfRatio": 1.0, "deformerRatio": 1.0, "renderRatio": 1.0}
+        net.marching_cube_update(net._ratio_dict(ratio))
+        dev_v = np.asarray(net.mesh.garment_vs[0])[: net.mesh.garment_n[0]]
+        net.marching_cube_update_host(ratio)
+        host_v = np.asarray(net.mesh.garment_vs[0])[: net.mesh.garment_n[0]]
+        assert abs(len(host_v) - len(dev_v)) <= 0.02 * len(dev_v)
+        d2, _ = knn(jnp.asarray(host_v), jnp.asarray(dev_v), 1)
+        # identical iso-surface: every host vertex lies on the device mesh
+        # (f32 interpolation rounding only)
+        assert float(jnp.sqrt(jnp.max(d2))) < 1e-3
+
 
 class TestRemesh:
     def test_edge_lengths_equalize(self, lib):

@@ -48,6 +48,13 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per step (reference fine phase = 1)")
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--profile", action="store_true",
+                    help="block at phase boundaries so t_* are real "
+                         "per-phase walls (cfg.profile_phases)")
+    ap.add_argument("--sustain", type=int, default=0,
+                    help="additionally run N steps at remesh cadence 8 "
+                         "(>=2 remeshes inside) recording per-step walls "
+                         "and finiteness — the sustained-stability artifact")
     ap.add_argument("--init-epochs", type=int, default=40)
     ap.add_argument("--scene", default="/tmp/recmv_bench_scene")
     ap.add_argument("--out", default=osp.join(REPO, "bench_fullstep.json"))
@@ -99,6 +106,7 @@ def main(argv=None):
     max_face = max(Wg * Hg, Wg * Dg, Hg * Dg)
     cfg.mc_capacity_v = 1 << int(np.ceil(np.log2(8 * max_face)))
     cfg.mc_capacity_f = 2 * cfg.mc_capacity_v
+    cfg.profile_phases = bool(args.profile)
 
     t0 = time.time()
     net = build_opt_net(conf, dataset, osp.join(scene, "result"),
@@ -142,13 +150,45 @@ def main(argv=None):
                 phases.setdefault(k, []).append(v)
         print(f"[bench] warm step {s}: {dt:.2f}s", flush=True)
 
+    sec_per_step = float(np.mean(warm))
+
     # warm remesh (the first-step remesh paid the extract compiles)
     t0 = time.time()
     net.marching_cube_update(net._ratio_dict(ratio))
     remesh_warm_s = time.time() - t0
     print(f"[bench] warm remesh {remesh_warm_s:.2f}s", flush=True)
 
-    sec_per_step = float(np.mean(warm))
+    sustained = None
+    if args.sustain:
+        import jax.random as jr
+
+        old_cadence = net.cfg.remesh_intersect
+        net.cfg.remesh_intersect = 8
+        net.opt_times = 0.0           # remesh at steps 0, 8, 16, ...
+        net.mesh = None
+        times, losses = [], []
+        n_remesh = 0
+        for s in range(args.sustain):
+            key, sub = jr.split(key)
+            t0 = time.time()
+            loss, info = net.train_step(batch, fids, ratio, sub)
+            dt = time.time() - t0
+            times.append(round(dt, 3))
+            losses.append(float(loss))
+            if info.get("t_remesh", 0.0) > 0.5:
+                n_remesh += 1
+            print(f"[bench] sustain {s}: {dt:.2f}s loss={loss:.4f}",
+                  flush=True)
+        net.cfg.remesh_intersect = old_cadence
+        sustained = {
+            "steps": args.sustain, "remeshes": n_remesh,
+            "per_step_s": times,
+            "all_finite": bool(np.isfinite(losses).all()),
+            "mean_nonremesh_s": round(float(np.mean(
+                [t for t, l in zip(times, losses) if t < 2 * sec_per_step])), 3)
+            if times else None,
+        }
+
     # effective amortized step incl. remesh every remesh_intersect steps
     amortized = sec_per_step + remesh_warm_s / cfg.remesh_intersect
     out = {
@@ -167,6 +207,7 @@ def main(argv=None):
         "phase_means_s": {k: round(float(np.mean(v)), 3)
                           for k, v in phases.items()},
         "rays_per_step": args.sample_pix,
+        "sustained": sustained,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     with open(args.out, "w") as f:

@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--steps", type=int, default=24)
     ap.add_argument("--init-epochs", type=int, default=120)
+    ap.add_argument("--production-nricp", action="store_true",
+                    help="register with the reference 200+100 NRICP "
+                         "schedules instead of the quick bench schedules")
     ap.add_argument("--quick", action="store_true",
                     help="tiny scale for CI (64px, few steps)")
     ap.add_argument("--scene", default="/tmp/recmv_quality_scene")
@@ -99,7 +102,25 @@ def main(argv=None):
 
     ratio = {"sdfRatio": 1.0, "deformerRatio": 0.5, "renderRatio": 1.0}
     key = jax.random.PRNGKey(0)
+
+    from recmv_tpu.models.garment_model import make_deform_fn, split_deform_conds
+    from recmv_tpu.ops.knn import knn as _knn
+
+    def mc_pred_to_gt(fid=0):
+        """Convergence probe: posed garment MC verts → gt garment rms
+        distance at one frame (cheap — no registration)."""
+        if net.mesh is None:
+            net.marching_cube_update(net._ratio_dict(ratio))
+        vs = net.mesh.garment_vs[0][: net.mesh.garment_n[0]]
+        posed = net._deform_garment_verts(
+            {"translator": net.params["translator"]}, net.scene_tree(),
+            [jnp.asarray(vs)], jnp.asarray([fid]), ratio)[0][0]
+        gt = np.load(osp.join(scene, "gt_meshes", f"{fid}.npz"))["verts"]
+        d2, _ = _knn(jnp.asarray(posed), jnp.asarray(gt, jnp.float32), 1)
+        return round(float(jnp.sqrt(jnp.mean(d2))), 6)
+
     steps = 0
+    trend = {0: mc_pred_to_gt()}
     t0 = time.time()
     import jax.random as jr
 
@@ -110,9 +131,13 @@ def main(argv=None):
             key, sub = jr.split(key)
             loss, info = net.train_step(batch, fids, ratio, sub)
             steps += 1
+            if steps == args.steps // 2:
+                trend[steps] = mc_pred_to_gt()
             if steps >= args.steps:
                 break
     t_train = time.time() - t0
+    trend[steps] = mc_pred_to_gt()
+    print(f"[quality] mc pred->gt trend: {trend}", flush=True)
 
     # registration + per-frame export
     inf = GarmentInference(net)
@@ -134,7 +159,8 @@ def main(argv=None):
         kw.setdefault("refine_cfg", refine_cfg)
         return orig(*a, **kw)
 
-    inf_mod.register_garment = quick_register
+    if not args.production_nricp:
+        inf_mod.register_garment = quick_register
     try:
         t0 = time.time()
         inf.ensure_registration(ratio, out_dir)
@@ -176,6 +202,9 @@ def main(argv=None):
         "pred_to_gt_dist_mean": round(float(np.mean(one_sided)), 6),
         "chamfer_l2_sym_per_frame": [round(d, 6) for d in dists],
         "chamfer_l2_sym_mean": round(float(np.mean(dists)), 6),
+        "mc_pred_to_gt_trend": {str(k): v for k, v in trend.items()},
+        "nricp_schedule": ("production-200+100" if args.production_nricp
+                           else "quick-30+15"),
         "t_init_s": round(t_init, 1), "t_train_s": round(t_train, 1),
         "t_registration_s": round(t_reg, 1),
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -1,7 +1,14 @@
 #!/usr/bin/env python
 """Benchmark: REC-MV hot-loop throughput + end-to-end step metrics.
 
-Primary metric — rays/sec/chip on the per-ray hot path (SURVEY §3.3):
+Headline metric — amortized sec/step of the REAL production training
+step (1080², 2048 rays, fine pyramid) from the committed
+``bench_fullstep.json`` artifact measured on the actual chip, vs the
+~1.5 s/step GTX-3090 estimate (vs_baseline > 1 = faster than the
+reference hardware). Falls back to the hot-loop rays/s when no fullstep
+artifact exists.
+
+Secondary — rays/sec/chip on the per-ray hot path (SURVEY §3.3):
 the 20-iteration surface root-find (SDF MLP + full deformer per
 iteration, reference ``utils/FindSurfacePs.py:273``), SDF gradient,
 Jacobian ray pullback, IDR render MLP, and the backward pass — jitted,
@@ -159,13 +166,31 @@ def main():
                           "reference female-3-casual schedule",
         }
 
-    print(json.dumps({
-        "metric": "rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-        "extra": extra,
-    }))
+    extra["rays_per_sec_per_chip"] = round(rays_per_sec, 1)
+    extra["rays_vs_baseline_estimate"] = round(
+        rays_per_sec / BASELINE_RAYS_PER_SEC, 3)
+
+    # Headline: the REAL production step (bench_fullstep artifact on the
+    # actual chip) against the ~1.5 s/step a GTX-3090 sustains at the
+    # same reference config (ESTIMATE — the reference publishes no
+    # numbers and no CUDA GPU exists here). vs_baseline > 1 = faster.
+    if fs and "sec_per_step_amortized" in fs:
+        spp = fs["sec_per_step_amortized"]
+        print(json.dumps({
+            "metric": "sec_per_step_amortized_1080p_fine",
+            "value": spp,
+            "unit": "s/step",
+            "vs_baseline": round(1.5 / spp, 3),
+            "extra": extra,
+        }))
+    else:
+        print(json.dumps({
+            "metric": "rays_per_sec_per_chip",
+            "value": round(rays_per_sec, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+            "extra": extra,
+        }))
 
 
 if __name__ == "__main__":

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config.constants import FL_EXTRACT, RENDER_COLORS, SMOOTH_TRANS
 from ..geometry.laplacian import laplacian_deform
-from ..geometry.mesh_utils import boundary_loops, vertex_normals
+from ..geometry.mesh_utils import boundary_loops, largest_component, vertex_normals
 from ..geometry.nricp import NricpConfig, nricp_fit
 from ..models import camera as cam_mod
 from ..models.curves import curve_to_tube_mesh, curves_forward
@@ -77,23 +77,24 @@ def relabel_boundaries_after_remesh(new_verts, new_faces, old_verts,
     (remesh_garment_mesh, garment_structure.py:440-460 knn_points of new
     boundary verts against old boundary verts)."""
     loops = boundary_loops(np.asarray(new_faces))
-    if not old_boundary_labels:
+    if not old_boundary_labels or not loops:
         return {}
     names = list(old_boundary_labels.keys())
     old_pts = [np.asarray(old_verts)[np.asarray(old_boundary_labels[n])]
                for n in names]
-    labels = {}
-    for loop in loops:
-        lv = np.asarray(new_verts)[loop]
-        # majority vote of per-vertex nearest labeled old boundary
-        dmin = np.stack([
-            np.min(np.linalg.norm(lv[:, None] - p[None], axis=-1), axis=1)
-            for p in old_pts])                                 # (C, L)
-        votes = np.bincount(dmin.argmin(0), minlength=len(names))
-        win = names[int(votes.argmax())]
-        if win not in labels or len(loop) > len(labels[win]):
-            labels[win] = loop
-    return labels
+    # one-to-one optimal assignment label ↔ loop (a majority vote can
+    # assign two loops the same label and silently DROP the other —
+    # losing the waist label is what used to skip two-garment sewing)
+    cost = np.full((len(names), len(loops)), np.inf)
+    for i, p in enumerate(old_pts):
+        for j, loop in enumerate(loops):
+            lv = np.asarray(new_verts)[loop]
+            cost[i, j] = np.mean(
+                np.min(np.linalg.norm(lv[:, None] - p[None], axis=-1), axis=1))
+    from scipy.optimize import linear_sum_assignment
+
+    ri, ci = linear_sum_assignment(cost)
+    return {names[i]: loops[j] for i, j in zip(ri, ci)}
 
 
 def remesh_registered(verts, faces, boundary_labels: dict,
@@ -152,7 +153,8 @@ def register_garment(template, mc_verts, mc_faces, curves_by_name: dict,
         epochs=200, inner_iter=10, first_inner_iter=60,
         stiffness_weight=(50.0, 20.0, 5.0, 2.0, 0.8, 0.5, 0.35, 0.2, 0.1),
         milestones=(50, 80, 100, 110, 120, 130, 140, 150),
-        laplacian_weight=(250.0,) * 9, threshold=0.3, lr=1e-3)
+        laplacian_weight=(250.0,) * 9, threshold=0.3, lr=1e-3,
+        max_dist=0.04)
 
     def static_of(lbl):
         return np.concatenate([np.asarray(l) for l in lbl.values()]) if lbl else None
@@ -171,7 +173,8 @@ def register_garment(template, mc_verts, mc_faces, curves_by_name: dict,
         epochs=100, inner_iter=10, first_inner_iter=30,
         stiffness_weight=(2.0, 0.8, 0.5, 0.35, 0.2, 0.1),
         milestones=(10, 20, 30, 40, 80),
-        laplacian_weight=(250.0,) * 6, threshold=0.5, lr=5e-4)
+        laplacian_weight=(250.0,) * 6, threshold=0.5, lr=5e-4,
+        max_dist=0.04)
     out_v = nricp_fit(out_v, out_f, np.asarray(mc_verts), tgt_normals,
                       target_mask=vis, static_ids=static_of(labels), cfg=rcfg)
 
@@ -243,6 +246,9 @@ class GarmentInference:
             nf = net.mesh.garment_fn[gi]
             mc_v = np.asarray(net.mesh.garment_vs[gi])[:nv]
             mc_f = np.asarray(net.mesh.garment_fs[gi])[:nf]
+            # registration target = the main garment surface only; MC of
+            # a weakly-constrained far-field SDF can carry floating junk
+            mc_v, mc_f = largest_component(mc_v, mc_f)
             rv, rf, labels = register_garment(
                 tmpl, mc_v, mc_f,
                 {n: curves_by_name[n] for n in FL_EXTRACT[gname] if n in curves_by_name},

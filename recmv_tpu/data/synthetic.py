@@ -36,16 +36,24 @@ from ..ops.math3d import compute_fnorms
 from ..ops.rasterizer import rasterize_mesh, screen_with_cam_z
 
 GARMENT_OFFSET = 0.025
-TORSO_Y = (-0.12, 0.30)
+# gt band ALIGNED with the procedural template cuts (models/garment.py
+# slices hip_y≈-0.33 → neck_y≈0.365): the reference's template library
+# matches its subjects' garments, so the synthetic gt must be producible
+# by the template machinery — a mismatched band makes every quality
+# number measure the template prior instead of optimizer convergence
+# (r3 diagnosis: 7.8k registered verts above the old gt top at ~10 cm,
+# and a narrow anatomical-neck template ring stretched 0.33 to reach a
+# low wide gt ring).
+TORSO_Y = (-0.32, 0.355)
 
 # Two-piece scene ("synthetic-two", TEMPLATE_GARMENT upper_tube+skirt):
 # the skirt (small offset) tucks UNDER the flared upper (large offset) in
 # the overlap band, so the skirt's waist curve is occluded by the upper —
 # the exact inter-garment case zbuff_and / garment_zbuff exist for.
 UPPER2_OFFSET = 0.045
-UPPER2_Y = (-0.12, 0.30)
+UPPER2_Y = (-0.32, 0.355)
 SKIRT_OFFSET = 0.025
-SKIRT_Y = (-0.50, -0.05)
+SKIRT_Y = (-0.68, -0.26)
 
 # scene type → [(garment piece name, offset, y band, ATR parsing label)]
 SCENE_GARMENTS = {
@@ -73,12 +81,22 @@ def apose(init_pose_type: int = 0) -> np.ndarray:
     return pose
 
 
+# lateral clamp ≈ the template slice's |x| < |shoulder_x|·1.15 cut —
+# keeps the torso-band garments armless like their templates
+X_CLAMP = 0.192
+
+
 def garment_sdf(pts: np.ndarray, offset: float = GARMENT_OFFSET,
-                band=TORSO_Y) -> np.ndarray:
-    """Tube garment: body offset surface ∩ height slab (closed via CSG)."""
+                band=TORSO_Y, x_clamp: float | None = X_CLAMP) -> np.ndarray:
+    """Tube garment: body offset surface ∩ height slab (∩ |x| slab for
+    torso garments — arms excluded, like the procedural templates);
+    closed via CSG."""
     body = synthetic_body_sdf(pts) - offset
     slab = np.maximum(band[0] - pts[:, 1], pts[:, 1] - band[1])
-    return np.maximum(body, slab)
+    sd = np.maximum(body, slab)
+    if x_clamp is not None and band[1] > -0.2:   # torso-band garments only
+        sd = np.maximum(sd, np.abs(pts[:, 0]) - x_clamp)
+    return sd
 
 
 def garment_mesh(res: int = 97, offset: float = GARMENT_OFFSET, band=TORSO_Y):
@@ -93,7 +111,8 @@ def garment_mesh(res: int = 97, offset: float = GARMENT_OFFSET, band=TORSO_Y):
 def boundary_ring(y_level: float, n: int = 100,
                   offset: float = GARMENT_OFFSET):
     """Ring on the garment surface at a fixed height: radial sphere trace
-    in the xz-plane from outside."""
+    in the xz-plane from outside (x clipped to the garment's lateral
+    clamp for torso rings)."""
     ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
     dirs = np.stack([np.cos(ang), np.zeros(n), np.sin(ang)], 1).astype(np.float32)
     pts = dirs * 1.2
@@ -102,7 +121,15 @@ def boundary_ring(y_level: float, n: int = 100,
         sd = synthetic_body_sdf(pts) - offset
         pts = pts - dirs * sd[:, None] * 0.9
         pts[:, 1] = y_level
-    return pts
+    if y_level > -0.2:
+        pts[:, 0] = np.clip(pts[:, 0], -X_CLAMP, X_CLAMP)
+    # drop near-duplicate consecutive points (the clip and concave trace
+    # regions collapse neighbors; zero-length segments NaN the arc-length
+    # resampling downstream)
+    d = np.linalg.norm(np.diff(np.vstack([pts, pts[:1]]), axis=0), axis=1)
+    keep = np.ones(len(pts), bool)
+    keep[1:] = d[:-1] > 1e-3
+    return pts[keep]
 
 
 def make_camera_params(image_size: int):

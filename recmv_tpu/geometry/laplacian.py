@@ -37,35 +37,54 @@ def uniform_laplacian(faces: np.ndarray, num_verts: int) -> np.ndarray:
 
 
 def laplacian_deform(verts, faces, constraint_ids, constraint_targets,
-                     constrain_weight: float = 1.0, smooth: bool = True):
+                     constrain_weight: float = 1.0, smooth: bool = True,
+                     displacement: bool = False):
     """Solve the Laplacian editing system.
 
     verts (N,3); constraint_ids (M,) int; constraint_targets (M,3).
     Returns the deformed vertices (N,3).
-    """
+
+    ``displacement=True`` solves for a harmonic-smooth DISPLACEMENT field
+    (min ‖L d‖² + w‖d_c − (targets − v_c)‖², u = v + d) instead of the
+    reference's Laplacian-coordinate preservation. Coordinate
+    preservation overshoots badly when a boundary handle moves far (the
+    r3 quality diagnosis: pulling a tube template's neck ring down 10 cm
+    flung 370 interior verts up to 27 cm ABOVE the old neck); the
+    displacement solve is biased toward zero motion and interpolates the
+    handle displacement smoothly instead."""
     verts = jnp.asarray(verts, jnp.float32)
     n = verts.shape[0]
     L = jnp.asarray(uniform_laplacian(np.asarray(faces), n))
-    delta = jnp.matmul(L, verts, precision=jax.lax.Precision.HIGHEST)
+    tgt = jnp.asarray(constraint_targets, jnp.float32)
 
     cid = jnp.asarray(constraint_ids, jnp.int32)
     m = cid.shape[0]
     C = jnp.zeros((m, n), jnp.float32).at[jnp.arange(m), cid].set(1.0)
     A = jnp.concatenate([L, C], axis=0)
-    t = jnp.concatenate([delta, jnp.asarray(constraint_targets, jnp.float32)], axis=0)
+    if displacement:
+        rhs = jnp.concatenate([jnp.zeros((n, 3)), tgt - verts[cid]], axis=0)
+    else:
+        delta = jnp.matmul(L, verts, precision=jax.lax.Precision.HIGHEST)
+        rhs = jnp.concatenate([delta, tgt], axis=0)
     w = jnp.concatenate([jnp.ones((n,)), jnp.full((m,), constrain_weight)])
 
     Aw = A * w[:, None]
     AtA = jnp.matmul(A.T, Aw, precision=jax.lax.Precision.HIGHEST)
-    Atb = jnp.matmul(A.T, (t * w[:, None]), precision=jax.lax.Precision.HIGHEST)
-    new_v = jnp.linalg.solve(AtA + 1e-8 * jnp.eye(n), Atb)
+    Atb = jnp.matmul(A.T, (rhs * w[:, None]), precision=jax.lax.Precision.HIGHEST)
+    sol = jnp.linalg.solve(AtA + 1e-8 * jnp.eye(n), Atb)
 
+    Ls = L.at[jnp.arange(n), jnp.arange(n)].set(0.0)
+    if displacement:
+        if smooth:
+            # smooth the displacement, not the positions (position
+            # averaging shrinks the whole mesh)
+            sol = jnp.matmul(Ls, sol, precision=jax.lax.Precision.HIGHEST)
+        return verts + sol
     if smooth:
         # one neighborhood-averaging step: zero the diagonal of L (leaves
         # the 1/deg neighbor weights) and apply (reference :184-187)
-        Ls = L.at[jnp.arange(n), jnp.arange(n)].set(0.0)
-        new_v = jnp.matmul(Ls, new_v, precision=jax.lax.Precision.HIGHEST)
-    return new_v
+        sol = jnp.matmul(Ls, sol, precision=jax.lax.Precision.HIGHEST)
+    return sol
 
 
 def sew_upper_bottom(upper_verts, upper_waist_ids, bottom_verts, bottom_faces,

@@ -41,6 +41,31 @@ def mesh_boundary_mask(faces: np.ndarray, num_verts: int) -> np.ndarray:
     return mask
 
 
+def largest_component(verts: np.ndarray, faces: np.ndarray):
+    """Keep the largest face-connected component (by face count) and
+    drop unreferenced vertices. MC extractions of a weakly-constrained
+    far-field SDF can carry spurious floating sheets — the reference's
+    pymeshlab cleanup removes them before registration; without this the
+    NRICP target includes junk geometry."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    faces = np.asarray(faces)
+    V = int(faces.max()) + 1 if len(faces) else len(verts)
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    adj = sp.coo_matrix((np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(V, V))
+    n, lab = connected_components(adj, directed=False)
+    if n <= 1:
+        return np.asarray(verts), faces
+    fl = lab[faces[:, 0]]
+    keep_lab = np.bincount(fl).argmax()
+    keep_faces = faces[fl == keep_lab]
+    used = np.unique(keep_faces)
+    remap = -np.ones(len(verts), np.int64)
+    remap[used] = np.arange(len(used))
+    return np.asarray(verts)[used], remap[keep_faces]
+
+
 def boundary_loops(faces: np.ndarray) -> list[np.ndarray]:
     """Ordered boundary loops (lists of vertex ids), the trimesh
     ``outline()`` equivalent. Loops follow face winding."""

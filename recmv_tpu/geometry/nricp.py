@@ -75,6 +75,12 @@ class NricpConfig:
     gamma: float = 1.0
     threshold: float = 0.5
     lr: float = 1e-4
+    # correspondence distance gate (world units): reject matches farther
+    # than this (the reference carries the same gate commented at
+    # nricp_optimizer.py:405-406 with 0.04; our short-init bench SDFs
+    # have far-field junk surfaces that otherwise drag the fit). None
+    # disables (reference shipped behavior).
+    max_dist: float | None = None
 
 
 def nricp_fit(source_verts, source_faces, target_verts, target_normals=None,
@@ -128,6 +134,9 @@ def nricp_fit(source_verts, source_faces, target_verts, target_normals=None,
                 jnp.linalg.norm(close_nrm, axis=-1) * jnp.linalg.norm(new_n, axis=-1) + 1e-9
             )
             gate = gate & (cos > cfg.threshold)
+        if cfg.max_dist is not None:
+            gate = gate & (jnp.sum((new_v - close_pts) ** 2, -1)
+                           < cfg.max_dist ** 2)
         gate = jax.lax.stop_gradient(gate)
         vert = jnp.sum(jnp.where(gate[:, None], (new_v - close_pts) ** 2, 0.0))
         stiff = _stiffness(p, edges, cfg.gamma) * sw

@@ -168,7 +168,10 @@ def procedural_template(garment_name: str, body_verts: np.ndarray,
         arms = (y > hip_y - 0.02) & (np.abs(x) >= abs(sho_l[0]) * 0.9) & (np.abs(x) < abs(cut))
         keep = torso | arms
         curve_y = {"neck": neck_y, "upper_bottom": hip_y}
-    elif garment_name in ("no_sleeve_upper", "tube"):
+    elif garment_name == "no_sleeve_upper":
+        keep = torso
+        curve_y = {"neck": neck_y, "bottom_curve": hip_y}
+    elif garment_name == "tube":
         keep = torso
         curve_y = {"neck": neck_y, "bottom_curve": hip_y}
     elif garment_name == "upper_tube":
@@ -201,7 +204,11 @@ def procedural_template(garment_name: str, body_verts: np.ndarray,
     # label loops by expected curve locations
     loops = boundary_loops(sf)
     refs = {}
-    for cname in FL_EXTRACT[garment_name]:
+    # label with the MATCHING superset (GARMENT_FL_MATCH) rather than the
+    # parameterized-curve subset (FL_EXTRACT): e.g. the skirt's
+    # 'upper_bottom' waist loop has no explicit curve but registration
+    # matching and two-garment waist SEWING both need the label
+    for cname in GARMENT_FL_MATCH.get(garment_name, FL_EXTRACT[garment_name]):
         ylv = curve_y.get(cname)
         if ylv is None:
             continue
@@ -212,7 +219,8 @@ def procedural_template(garment_name: str, body_verts: np.ndarray,
             side = -0.2
         refs[cname] = np.asarray([[side, ylv, 0.0]])
     # cuffs: arm-end loops
-    if "left_cuff" in FL_EXTRACT[garment_name]:
+    if "left_cuff" in GARMENT_FL_MATCH.get(garment_name,
+                                           FL_EXTRACT[garment_name]):
         xr = max(abs(sv[:, 0].max()), abs(sv[:, 0].min()))
         refs["left_cuff"] = np.asarray([[xr, sho_l[1], 0.0]])
         refs["right_cuff"] = np.asarray([[-xr, sho_r[1], 0.0]])

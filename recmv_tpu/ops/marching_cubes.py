@@ -72,18 +72,6 @@ _EDGE_AXIS_OFFSET = np.array(
 )
 
 
-def _compact_indices(csum: jnp.ndarray, n_out: int) -> jnp.ndarray:
-    """Indices of the first ``n_out`` set entries of the mask whose
-    INCLUSIVE cumsum is ``csum`` — compaction as a binary search instead
-    of a scatter (TPU scatter is ~3x slower than gather; the three
-    dense-volume scatters dominated the remesh at (321,417,225)).
-    Entries beyond the live count return clamped garbage — callers mask
-    with their count."""
-    q = jnp.arange(1, n_out + 1, dtype=csum.dtype)
-    idx = jnp.searchsorted(csum, q, side="left")
-    return jnp.minimum(idx, csum.shape[0] - 1).astype(jnp.int32)
-
-
 @partial(jax.jit, static_argnames=("max_verts", "max_faces"))
 def marching_cubes(vol: jnp.ndarray, level: float = 0.0,
                    origin=(0.0, 0.0, 0.0), spacing=(1.0, 1.0, 1.0),
@@ -112,7 +100,10 @@ def marching_cubes(vol: jnp.ndarray, level: float = 0.0,
     n_verts = csum[-1]
 
     # --- compact active edge ids into the vertex buffer --------------------
-    edge_of_vert = _compact_indices(csum, max_verts)
+    edge_lin = jnp.arange(active.shape[0], dtype=jnp.int32)
+    target = jnp.where(active & (slots < max_verts), slots, max_verts)
+    edge_of_vert = jnp.zeros((max_verts + 1,), jnp.int32).at[target].set(edge_lin, mode="drop")
+    edge_of_vert = edge_of_vert[:max_verts]
 
     # --- decode edges → interpolated world positions (gather only) ---------
     o_x, o_y, o_z = 0, sizes[0], sizes[0] + sizes[1]
@@ -165,8 +156,11 @@ def marching_cubes(vol: jnp.ndarray, level: float = 0.0,
     cell_ntri_all = ntri_tab[cfg]  # (C,)
     cell_active = cell_ntri_all > 0
     ccsum = jnp.cumsum(cell_active.astype(jnp.int32))
+    cslots = ccsum - 1
     A = max_faces  # every active cell emits ≥1 triangle → #active ≤ #faces
-    cell_ids = _compact_indices(ccsum, A)
+    ctarget = jnp.where(cell_active & (cslots < A), cslots, A)
+    cell_ids = jnp.zeros((A + 1,), jnp.int32).at[ctarget].set(
+        jnp.arange(cfg.shape[0], dtype=jnp.int32), mode="drop")[:A]
     n_active = ccsum[-1]
     a_valid = jnp.arange(A) < n_active
 
@@ -197,13 +191,18 @@ def marching_cubes(vol: jnp.ndarray, level: float = 0.0,
     tri_active = (k[None, :] < ntri_a[:, None]) & a_valid[:, None]  # (A,5)
     tri_active = tri_active.reshape(-1)               # (A*5,)
     tcsum = jnp.cumsum(tri_active.astype(jnp.int32))
+    tslots = tcsum - 1
     n_faces = tcsum[-1]
-    tpos = _compact_indices(tcsum, max_faces)         # (F,) source tri slots
+    ttarget = jnp.where(tri_active & (tslots < max_faces), tslots, max_faces)
     vids3 = tri_vids_flat.reshape(-1, 3)              # (A*5, 3) small last dim,
-    # gathered column-wise to keep every resident buffer 1-D / lane-major
+    # scattered column-wise to keep every resident buffer 1-D / lane-major
+    fcols = []
+    for c in range(3):
+        col = jnp.zeros((max_faces + 1,), jnp.int32).at[ttarget].set(
+            vids3[:, c], mode="drop")[:max_faces]
+        fcols.append(col)
     fmask = jnp.arange(max_faces) < n_faces
-    faces = jnp.stack(
-        [jnp.where(fmask, vids3[tpos, c], 0) for c in range(3)], axis=0)
+    faces = jnp.stack([jnp.where(fmask, c, 0) for c in fcols], axis=0)  # (3, F)
 
     return verts, faces, n_verts, n_faces
 

@@ -52,7 +52,7 @@ class TestNativeMC:
         vol, origin, spacing = sphere_vol(513)
         v, f = lib.marching_cubes_host(vol, 0.0, origin, spacing,
                                        max_verts=1 << 22, max_faces=1 << 23)
-        assert len(v) > 500_000 and len(f) > 1_000_000
+        assert len(v) > 400_000 and len(f) > 800_000
         np.testing.assert_allclose(np.linalg.norm(v, axis=1), 0.6, atol=5e-5)
 
 

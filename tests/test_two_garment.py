@@ -108,7 +108,7 @@ class TestTwoGarmentFull:
         quick = NricpConfig(epochs=20, inner_iter=5, first_inner_iter=10,
                             stiffness_weight=(5.0, 0.5), milestones=(10,),
                             laplacian_weight=(250.0, 250.0), threshold=0.5,
-                            lr=1e-3)
+                            lr=1e-3, max_dist=0.04)
         orig = inf_mod.register_garment
 
         def quick_register(*a, **kw):

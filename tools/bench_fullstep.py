@@ -130,6 +130,12 @@ def main(argv=None):
     batch = dataset.get_batch(fids)
 
     t0 = time.time()
+    net.warm_start(batch, fids, ratio, key)
+    warm_start_s = time.time() - t0
+    print(f"[bench] warm_start (parallel phase compiles) {warm_start_s:.1f}s",
+          flush=True)
+
+    t0 = time.time()
     loss, info = net.train_step(batch, fids, ratio, key)
     first_step = time.time() - t0
     remesh_s = info.get("t_remesh", 0.0)
@@ -199,6 +205,7 @@ def main(argv=None):
         },
         "device": str(dev),
         "platform": dev.platform,
+        "warm_start_s": round(warm_start_s, 2),
         "first_step_s": round(first_step, 2),
         "sec_per_step": round(sec_per_step, 3),
         "sec_per_step_amortized": round(amortized, 3),

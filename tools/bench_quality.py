@@ -145,11 +145,11 @@ def main(argv=None):
     quick_cfg = NricpConfig(epochs=30, inner_iter=10, first_inner_iter=40,
                             stiffness_weight=(50.0, 5.0, 0.8, 0.2),
                             milestones=(8, 16, 24),
-                            laplacian_weight=(250.0,) * 4, threshold=0.3)
+                            laplacian_weight=(250.0,) * 4, threshold=0.3, max_dist=0.04)
     refine_cfg = NricpConfig(epochs=15, inner_iter=10, first_inner_iter=10,
                              stiffness_weight=(0.8, 0.2), milestones=(8,),
                              laplacian_weight=(250.0,) * 2, threshold=0.5,
-                             lr=5e-4)
+                             lr=5e-4, max_dist=0.04)
     from recmv_tpu.core import inference as inf_mod
 
     orig = inf_mod.register_garment

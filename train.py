@@ -123,6 +123,18 @@ def main(argv=None):
     key = jrandom.PRNGKey(args.seed)
     steps = 0
     t_start = time.time()
+
+    # parallel AOT compile of the phase executables (overlaps the axon
+    # remote-compile requests and fills the persistent cache) so step 1
+    # isn't a serial compile-on-first-call chain
+    try:
+        warm_fids = list(range(min(net.cfg.batch_size, dataset.frame_num)))
+        t0 = time.time()
+        net.warm_start(dataset.get_batch(warm_fids), warm_fids, ratio, key)
+        print(f"[train] warm_start compiles in {time.time()-t0:.1f}s")
+    except Exception as e:    # advisory — training works without it
+        print(f"[train] warm_start skipped: {e}")
+
     for epoch in range(start_epoch, nepochs):
         # hierarchy promotions
         for phase in ("medium", "fine"):

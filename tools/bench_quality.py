@@ -106,12 +106,7 @@ def main(argv=None):
     from recmv_tpu.models.garment_model import make_deform_fn, split_deform_conds
     from recmv_tpu.ops.knn import knn as _knn
 
-    def mc_pred_to_gt(fid=0):
-        """Convergence probe: posed garment MC verts → gt garment rms
-        distance at one frame (cheap — no registration)."""
-        if net.mesh is None:
-            net.marching_cube_update(net._ratio_dict(ratio))
-        vs = net.mesh.garment_vs[0][: net.mesh.garment_n[0]]
+    def _pose_to_gt(vs, fid):
         posed = net._deform_garment_verts(
             {"translator": net.params["translator"]}, net.scene_tree(),
             [jnp.asarray(vs)], jnp.asarray([fid]), ratio)[0][0]
@@ -119,8 +114,27 @@ def main(argv=None):
         d2, _ = _knn(jnp.asarray(posed), jnp.asarray(gt, jnp.float32), 1)
         return round(float(jnp.sqrt(jnp.mean(d2))), 6)
 
+    def mc_pred_to_gt(fid=0):
+        """Convergence probe: posed garment verts (the live vert-SGD mesh)
+        → gt garment rms distance at one frame (cheap — no registration)."""
+        if net.mesh is None:
+            net.marching_cube_update(net._ratio_dict(ratio))
+        vs = net.mesh.garment_vs[0][: net.mesh.garment_n[0]]
+        return _pose_to_gt(vs, fid)
+
+    def mc_fresh_to_gt(fid=0):
+        """Same probe on a FRESH marching-cubes extraction of the garment
+        SDF (state untouched): separates SDF drift from vert-SGD drag."""
+        meshes = net.discretize_sdf(net._ratio_dict(ratio), -net.sdf_shrink)
+        g_v, _, g_nv, _ = meshes[1]
+        vs = g_v[:, :g_nv].T  # lane-major (3, cap) → (nv, 3)
+        return _pose_to_gt(vs, fid)
+
     steps = 0
     trend = {0: mc_pred_to_gt()}
+    trend_fresh = {0: mc_fresh_to_gt()}
+    probe_at = sorted({args.steps // 4, args.steps // 2,
+                       3 * args.steps // 4} - {0})
     t0 = time.time()
     import jax.random as jr
 
@@ -131,13 +145,16 @@ def main(argv=None):
             key, sub = jr.split(key)
             loss, info = net.train_step(batch, fids, ratio, sub)
             steps += 1
-            if steps == args.steps // 2:
+            if steps in probe_at:
                 trend[steps] = mc_pred_to_gt()
+                trend_fresh[steps] = mc_fresh_to_gt()
             if steps >= args.steps:
                 break
     t_train = time.time() - t0
     trend[steps] = mc_pred_to_gt()
-    print(f"[quality] mc pred->gt trend: {trend}", flush=True)
+    trend_fresh[steps] = mc_fresh_to_gt()
+    print(f"[quality] sgd-mesh pred->gt trend: {trend}", flush=True)
+    print(f"[quality] fresh-mc pred->gt trend: {trend_fresh}", flush=True)
 
     # registration + per-frame export
     inf = GarmentInference(net)
@@ -203,6 +220,7 @@ def main(argv=None):
         "chamfer_l2_sym_per_frame": [round(d, 6) for d in dists],
         "chamfer_l2_sym_mean": round(float(np.mean(dists)), 6),
         "mc_pred_to_gt_trend": {str(k): v for k, v in trend.items()},
+        "mc_fresh_to_gt_trend": {str(k): v for k, v in trend_fresh.items()},
         "nricp_schedule": ("production-200+100" if args.production_nricp
                            else "quick-30+15"),
         "t_init_s": round(t_init, 1), "t_train_s": round(t_train, 1),

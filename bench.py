@@ -143,7 +143,8 @@ def main():
         extra["hot_step_gflops"] = round(flops / 1e9, 1)
     if mfu is not None:
         extra["mfu_pct_vs_bf16_peak"] = round(mfu, 2)
-    for name in ("bench_fullstep.json", "bench_quality.json"):
+    for name in ("bench_fullstep.json", "bench_quality.json",
+                 "bench_quality_512.json"):
         p = osp.join(REPO, name)
         if osp.isfile(p):
             with open(p) as f:

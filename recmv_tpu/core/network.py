@@ -103,6 +103,15 @@ class TrainConfig:
     # back-to-back with a single device sync at the end of the step —
     # t_* then measure dispatch, not compute.
     profile_phases: bool = False
+    # Directory for the serialized-executable cache (utils/exec_cache):
+    # phase/extract executables persist across processes keyed on their
+    # StableHLO hash, sidestepping XLA's per-process-unstable cache keys.
+    # None → env RECMV_EXEC_CACHE → disabled.
+    exec_cache_dir: str | None = None
+
+    def __post_init__(self):
+        if self.exec_cache_dir is None:
+            self.exec_cache_dir = os.environ.get("RECMV_EXEC_CACHE") or None
 
 
 @partial(jax.jit, static_argnames=("cv", "cf"))
@@ -286,6 +295,11 @@ class GarmentOptimNetwork:
                     max_faces=self.cfg.mc_capacity_f,
                 )
 
+            from ..utils.exec_cache import LazyAot, cache_enabled
+
+            if (self.cfg.exec_cache_dir and self.pmesh is None
+                    and cache_enabled()):
+                extract = LazyAot(extract, self.cfg.exec_cache_dir, "extract")
             self._extract_cache[key] = extract
         return self._extract_cache[key]
 
@@ -339,6 +353,11 @@ class GarmentOptimNetwork:
 
                 return seg3d_forward(q, cfg)
 
+            from ..utils.exec_cache import LazyAot, cache_enabled
+
+            if (self.cfg.exec_cache_dir and self.pmesh is None
+                    and cache_enabled()):
+                vol_fn = LazyAot(vol_fn, self.cfg.exec_cache_dir, "vol")
             self._extract_cache[key] = vol_fn
         return self._extract_cache[key]
 
@@ -1116,20 +1135,26 @@ class GarmentOptimNetwork:
         if self._jit_cache.get("sig") == sig:
             return self._jit_cache
         cache = {"sig": sig}
+        from ..utils.exec_cache import LazyAot, cache_enabled
+
+        def _wrap(tag, jitted):
+            if self.cfg.exec_cache_dir and self.pmesh is None and cache_enabled():
+                return LazyAot(jitted, self.cfg.exec_cache_dir, tag)
+            return jitted
 
         def fl_fn(gp, cp, fids, fl_pts, fl_masks, r, vs_t, fs_t):
             return self.fl_branch_loss(gp, cp, fids, fl_pts, fl_masks, r,
                                        vs_t, fs_t)
 
-        cache["fl"] = jax.jit(
-            jax.value_and_grad(fl_fn, argnums=(0, 1), has_aux=True))
+        cache["fl"] = _wrap("fl", jax.jit(
+            jax.value_and_grad(fl_fn, argnums=(0, 1), has_aux=True)))
 
         def pc_fn(vs_t, gp, fids, gt_masks, r, counts):
             loss, (info, _) = self.pc_branch_loss(vs_t, gp, fids, gt_masks, r, counts)
             return loss, info
 
-        cache["pc"] = jax.jit(
-            jax.value_and_grad(pc_fn, argnums=(0, 1), has_aux=True))
+        cache["pc"] = _wrap("pc", jax.jit(
+            jax.value_and_grad(pc_fn, argnums=(0, 1), has_aux=True)))
 
         def rays_fn(gp, fids, gt_masks, r, key, vs_t, fs_t):
             ray_data, key = self.find_and_sample_rays(gp, fids, gt_masks, r, key,
@@ -1137,7 +1162,7 @@ class GarmentOptimNetwork:
             solved = self.solve_surface_points(gp, ray_data, fids, r)
             return solved, key
 
-        cache["rays"] = jax.jit(rays_fn)
+        cache["rays"] = _wrap("rays", jax.jit(rays_fn))
 
         def main_fn(gp, cp, solved, fids, imgs, normals, vs_t, counts, win_ids,
                     r, key):
@@ -1147,8 +1172,8 @@ class GarmentOptimNetwork:
             return self.main_loss(gp, cp, solved, fids, batch, vs_t, counts,
                                   win_ids, r, key)
 
-        cache["main"] = jax.jit(
-            jax.value_and_grad(main_fn, has_aux=True))
+        cache["main"] = _wrap("main", jax.jit(
+            jax.value_and_grad(main_fn, has_aux=True)))
 
         def update_fn(g_fl, g_pc, g_main, gparams, opt_state, lr_scale):
             grads = jax.tree_util.tree_map(lambda a, b, c: a + b + c,
@@ -1161,13 +1186,13 @@ class GarmentOptimNetwork:
                      "gnorm_main": optax.global_norm(g_main)}
             return optax.apply_updates(gparams, up), opt_state, norms
 
-        cache["update"] = jax.jit(update_fn)
+        cache["update"] = _wrap("update", jax.jit(update_fn))
 
         def curve_update_fn(g_curve, cp, st):
             up, st = self.curve_opt.update(g_curve, st, cp)
             return optax.apply_updates(cp, up), st
 
-        cache["curve_update"] = jax.jit(curve_update_fn)
+        cache["curve_update"] = _wrap("curve_update", jax.jit(curve_update_fn))
 
         def vert_update_fn(g_verts, gvs, st, counts):
             g_verts = tuple(
@@ -1177,7 +1202,7 @@ class GarmentOptimNetwork:
             up, st = self.vert_opt.update(g_verts, st, gvs)
             return optax.apply_updates(gvs, up), st
 
-        cache["vert_update"] = jax.jit(vert_update_fn)
+        cache["vert_update"] = _wrap("vert_update", jax.jit(vert_update_fn))
 
         self._jit_cache = cache
         return cache
@@ -1241,7 +1266,10 @@ class GarmentOptimNetwork:
 
         def compile_one(name, args):
             try:
-                fns[name].lower(*args).compile()
+                if hasattr(fns[name], "warm"):   # LazyAot: exec-cache load
+                    fns[name].warm(*args)
+                else:
+                    fns[name].lower(*args).compile()
             except Exception as e:  # pragma: no cover — warmup is advisory
                 import sys
                 sys.stderr.write(f"[warm_start] {name}: {e}\n")
@@ -1262,11 +1290,17 @@ class GarmentOptimNetwork:
             win_ids = jnp.asarray(
                 self._window_ids(np.asarray(frame_ids), self.dct_null.shape[1]))
         g0 = jax.tree_util.tree_map(jnp.zeros_like, gparams)
+        gv0 = tuple(jnp.zeros_like(v) for v in gvs)
         wave2 = [("main", (gparams, self.params["curves"], solved, frame_ids,
                            dev["img"], dev.get("normal"), gvs, counts,
                            win_ids, r, key)),
                  ("update", (g0, g0, g0, gparams, self.global_opt_state,
-                             jnp.asarray(1.0, jnp.float32)))]
+                             jnp.asarray(1.0, jnp.float32))),
+                 ("vert_update", (gv0, gvs, self.vert_opt_state, counts))]
+        if not self.large_pose and self.params.get("curves"):
+            c0 = jax.tree_util.tree_map(jnp.zeros_like, self.params["curves"])
+            wave2.append(("curve_update", (c0, self.params["curves"],
+                                           self.curve_opt_state)))
         ths = [threading.Thread(target=compile_one, args=j) for j in wave2]
         [t.start() for t in ths]
         [t.join() for t in ths]

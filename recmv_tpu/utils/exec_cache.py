@@ -1,0 +1,163 @@
+"""Persistent ahead-of-time executable cache.
+
+XLA's own persistent compilation cache computes unstable keys for the
+Pallas-bearing phase functions across processes on the axon TPU backend
+(observed r3: ``main_fn`` hits, ``fl``/``pc``/``rays`` always miss even
+though their StableHLO is byte-identical), so every new training process
+pays the full ~10-minute compile chain. This module sidesteps XLA's key
+machinery entirely: we key on the SHA-256 of the *lowered StableHLO
+bytecode* (deterministic across processes) plus the jax version and
+device kind, and persist the compiled executable itself via
+``jax.experimental.serialize_executable``.
+
+A cache hit turns a multi-minute phase compile into a sub-second
+deserialize. Anything that fails (serialization unsupported on a
+backend, stale jax version, corrupt file) falls back to a normal
+compile — the cache is strictly advisory.
+
+Wired in via ``LazyAot`` wrappers around the per-phase ``jax.jit``
+functions (core/network.py:_get_jitted) and the seg3d extract functions;
+enable by setting ``TrainConfig.exec_cache_dir`` or the
+``RECMV_EXEC_CACHE`` environment variable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import sys
+
+
+def _module_bytes(lowered) -> bytes:
+    """Deterministic bytes of a ``jax.stages.Lowered``'s StableHLO."""
+    try:
+        from jax._src.interpreters import mlir
+
+        return mlir.module_to_bytecode(lowered.compiler_ir("stablehlo"))
+    except Exception:
+        return lowered.as_text().encode()
+
+
+def cache_key(lowered, tag: str = "") -> str:
+    import jax
+
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    dev = jax.devices()[0]
+    h.update(f"{dev.platform}/{getattr(dev, 'device_kind', '?')}".encode())
+    h.update(tag.encode())
+    h.update(_module_bytes(lowered))
+    return h.hexdigest()[:32]
+
+
+def _log(msg: str):
+    sys.stderr.write(f"[exec_cache] {msg}\n")
+    sys.stderr.flush()
+
+
+def cache_enabled() -> bool:
+    """True when the serialized-executable cache is safe to use.
+
+    XLA:CPU AOT results embed the *compile-time host's* machine features
+    and can fail (or SIGILL) when loaded by a later process (observed:
+    'Buffer Definition Event: Function ... not found' + a machine-feature
+    mismatch warning), so the cache is TPU-only unless
+    ``RECMV_EXEC_CACHE_CPU=1`` explicitly opts CPU in (tests)."""
+    if os.environ.get("RECMV_EXEC_CACHE_CPU") == "1":
+        return True
+    import jax
+
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
+def aot_compile(jitted, args, cache_dir: str | None, tag: str = ""):
+    """``jitted.lower(*args).compile()`` with a disk round-trip.
+
+    Returns a ``jax.stages.Compiled`` (or loaded equivalent). With
+    ``cache_dir=None`` this is a plain AOT compile.
+    """
+    import time
+
+    lowered = jitted.lower(*args)
+    if not cache_dir:
+        return lowered.compile()
+    os.makedirs(cache_dir, exist_ok=True)
+    key = cache_key(lowered, tag)
+    path = os.path.join(cache_dir, f"{tag or 'fn'}-{key}.jexec")
+    if os.path.isfile(path):
+        try:
+            t0 = time.time()
+            with open(path, "rb") as fh:
+                n_devs, payload, in_tree, out_tree = pickle.load(fh)
+            from jax.experimental import serialize_executable as se
+
+            import jax
+
+            devs = jax.local_devices()[:n_devs] if n_devs else None
+            out = se.deserialize_and_load(payload, in_tree, out_tree,
+                                          execution_devices=devs)
+            # validate by executing once (phase fns are pure): stale
+            # machine-feature/fusion mismatches only surface at run time
+            jax.block_until_ready(out(*args))
+            _log(f"{tag}: loaded in {time.time()-t0:.1f}s ({path})")
+            return out
+        except Exception as e:  # corrupt/incompatible: recompile
+            _log(f"{tag}: load failed ({type(e).__name__}: {e}); recompiling")
+    t0 = time.time()
+    compiled = lowered.compile()
+    dt = time.time() - t0
+    try:
+        from jax.experimental import serialize_executable as se
+
+        try:  # executables are pinned to their compile-time device set
+            n_devs = len(compiled._executable.xla_executable.local_devices())
+        except Exception:
+            n_devs = 0
+        payload, in_tree, out_tree = se.serialize(compiled)
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            pickle.dump((n_devs, payload, in_tree, out_tree), fh)
+        os.replace(tmp, path)
+        _log(f"{tag}: compiled in {dt:.1f}s, cached {len(payload)>>20} MiB")
+    except Exception as e:  # serialization unsupported: still return compiled
+        _log(f"{tag}: compiled in {dt:.1f}s, serialize failed "
+             f"({type(e).__name__}: {e})")
+    return compiled
+
+
+class LazyAot:
+    """Callable wrapping a ``jax.jit`` function: first call AOT-compiles
+    through :func:`aot_compile` (disk cache), later calls hit the pinned
+    executable. Falls back to the plain jitted function if the pinned
+    executable rejects an argument structure (shape drift within a mesh
+    era should not happen; this keeps it from ever being fatal)."""
+
+    def __init__(self, jitted, cache_dir: str | None, tag: str = ""):
+        self._jitted = jitted
+        self._cache_dir = cache_dir
+        self._tag = tag
+        self._compiled = None
+
+    def warm(self, *args):
+        """AOT-compile (or load) for these example args."""
+        if self._compiled is None:
+            self._compiled = aot_compile(self._jitted, args,
+                                         self._cache_dir, self._tag)
+        return self
+
+    def lower(self, *args):
+        return self._jitted.lower(*args)
+
+    def __call__(self, *args):
+        if self._compiled is None:
+            try:
+                self.warm(*args)
+            except Exception as e:  # lowering quirk: plain jit path
+                _log(f"{self._tag}: aot failed ({type(e).__name__}: {e}); "
+                     f"using plain jit")
+                self._compiled = self._jitted
+        try:
+            return self._compiled(*args)
+        except TypeError:
+            return self._jitted(*args)

@@ -61,7 +61,11 @@ def main(argv=None):
     ap.add_argument("--cache-dir", default="/tmp/recmv_jax_cache",
                     help="persistent XLA compilation cache (first_step_s "
                          "reflects cold compiles only on the first ever run)")
+    ap.add_argument("--exec-cache", default="/tmp/recmv_exec_cache",
+                    help="serialized-executable cache dir ('' disables)")
     args = ap.parse_args(argv)
+    if args.exec_cache:
+        os.environ.setdefault("RECMV_EXEC_CACHE", args.exec_cache)
 
     import jax
 

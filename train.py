@@ -43,6 +43,12 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a JAX platform (the axon plugin ignores "
                         "JAX_PLATFORMS, so use this flag)")
+    p.add_argument("--cache-dir", default="/tmp/recmv_jax_cache",
+                   help="persistent XLA compilation cache ('' disables)")
+    p.add_argument("--exec-cache", default="/tmp/recmv_exec_cache",
+                   help="serialized-executable cache dir ('' disables): "
+                        "phase/extract executables reload across processes "
+                        "even where XLA's own cache keys are unstable")
     return p.parse_args(argv)
 
 
@@ -52,6 +58,12 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.cache_dir:
+        os.makedirs(args.cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.exec_cache:
+        os.environ.setdefault("RECMV_EXEC_CACHE", args.exec_cache)
 
     import recmv_tpu  # noqa: F401  (sets matmul precision)
     from recmv_tpu.config import ConfigFactory, dump_config

@@ -1452,9 +1452,31 @@ class GarmentOptimNetwork:
 
         # the reference's 5e-3 assumes its 1200-epoch budget; short fits
         # (tests, quick benches) oscillate at that rate and can leave the
-        # SDF with no zero crossing at all ("tmp sdf vanished")
-        if nepochs < 200:
+        # SDF with no zero crossing at all ("tmp sdf vanished"): Adam's
+        # early steps move every param by ~lr regardless of gradient
+        # scale, so a budget of a few dozen steps lands mid-transient —
+        # measured on the smoke fixture: 8 epochs @2e-3 → min sdf +0.04
+        # (no surface), @5e-4 → crossing preserved, 40 epochs @2e-3 →
+        # converged. Derate lr to the budget.
+        if nepochs < 32:
+            lr = min(lr, 5e-4)
+        elif nepochs < 200:
             lr = min(lr, 2e-3)
+
+        # geometric re-init to the data scale: the geo-init sphere
+        # (radius=bias, origin-centered) can sit far inside/outside the
+        # target surface (a torso-band garment is ~0.3-scale, off-origin);
+        # the L1 |sdf| term then drives a uniform sign-coherent shift that
+        # Adam overshoots on short budgets, leaving NO zero crossing.
+        # Shifting the sdf-channel bias so the point-set mean is zero
+        # guarantees the init surface already crosses the data.
+        from ..models.sdf import sdf_value
+
+        v0 = sdf_value(params, static, verts[: min(V, 4096)], -1.0)
+        last = f"lin{static.n_layers - 2}"
+        params = dict(params)
+        params[last] = dict(params[last])
+        params[last]["b"] = params[last]["b"].at[0].add(-jnp.mean(v0))
         sched = optax.exponential_decay(lr, 500, 0.5, staircase=True)
         opt = optax.adam(sched)
         opt_state = opt.init(params)
@@ -1609,7 +1631,11 @@ class GarmentOptimNetwork:
                 s, st = carry
                 g = jax.grad(proj_loss, argnums=1)(T, s)
                 u, st = optS.update(g, st, s)
-                return (optax.apply_updates(s, u), st), None
+                # projection: a curve scale outside [0.3, 3] is never a
+                # garment fit, it's the optimizer exploiting a bad
+                # template prior or a depth/visibility artifact
+                s = jnp.clip(optax.apply_updates(s, u), 0.3, 3.0)
+                return (s, st), None
 
             (s, _), _ = jax.lax.scan(step, (s, optS.init(s)), None, length=n)
             return s
@@ -1710,7 +1736,13 @@ class GarmentOptimNetwork:
         self.garment_extract_bboxes = []
         for gi, t in enumerate(registered):
             cv, cf, cn = t.close_hole()
-            self.igr_fit_sdf(("garment", gi), cv, cn if with_normals else None, nepochs)
+            # area-weighted resample: raw closed-mesh vertices are
+            # density-biased (subdivided cap fans can hold most of the
+            # vertices), which skews short IGR fits toward the caps
+            from ..geometry.mesh_utils import sample_mesh_surface
+
+            sp, sn = sample_mesh_surface(cv, cf, max(len(cv), 8192), seed=gi)
+            self.igr_fit_sdf(("garment", gi), sp, sn if with_normals else None, nepochs)
             # extraction clip box: template bbox + 20% margin (the
             # garment may grow during training; far-field IGR junk may
             # not — see _get_extract_fn)

@@ -37,21 +37,27 @@ from ..ops.rasterizer import rasterize_mesh, screen_with_cam_z
 
 GARMENT_OFFSET = 0.025
 # gt band ALIGNED with the procedural template cuts (models/garment.py
-# slices hip_y≈-0.33 → neck_y≈0.365): the reference's template library
-# matches its subjects' garments, so the synthetic gt must be producible
-# by the template machinery — a mismatched band makes every quality
-# number measure the template prior instead of optimizer convergence
-# (r3 diagnosis: 7.8k registered verts above the old gt top at ~10 cm,
-# and a narrow anatomical-neck template ring stretched 0.33 to reach a
-# low wide gt ring).
-TORSO_Y = (-0.32, 0.355)
+# slices hip_y≈-0.33 → armpit_y≈0.23 for strapless tubes): the
+# reference's template library matches its subjects' garments, so the
+# synthetic gt must be producible by the template machinery — a
+# mismatched band makes every quality number measure the template prior
+# instead of optimizer convergence (r3 diagnosis: 7.8k registered verts
+# above the old gt top at ~10 cm, and a narrow anatomical-neck template
+# ring stretched 0.33 to reach a low wide gt ring; the y<neck_y slice's
+# top boundary merged neck+armholes — non-planar — so the top band now
+# stops below the armpits, where a real tube top ends).
+TORSO_Y = (-0.32, 0.23)
+
+# Bump whenever the gt geometry above changes: ensure_scene() regenerates
+# stale cached scenes (and their result/ init caches) automatically.
+SCENE_VERSION = 2
 
 # Two-piece scene ("synthetic-two", TEMPLATE_GARMENT upper_tube+skirt):
 # the skirt (small offset) tucks UNDER the flared upper (large offset) in
 # the overlap band, so the skirt's waist curve is occluded by the upper —
 # the exact inter-garment case zbuff_and / garment_zbuff exist for.
 UPPER2_OFFSET = 0.045
-UPPER2_Y = (-0.32, 0.355)
+UPPER2_Y = (-0.32, 0.23)
 SKIRT_OFFSET = 0.025
 SKIRT_Y = (-0.68, -0.26)
 
@@ -264,4 +270,25 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
         shape=np.zeros(10, np.float32), gender="synthetic",
     )
     np.savez(osp.join(out_dir, "camera.npz"), **make_camera_params(image_size))
+    with open(osp.join(out_dir, "scene_meta.json"), "w") as f:
+        json.dump({"version": SCENE_VERSION, "garment_type": garment_type,
+                   "n_frames": n_frames, "image_size": image_size}, f)
     return out_dir
+
+
+def ensure_scene(out_dir: str, **kwargs) -> str:
+    """Cached-scene gate for the persistent bench scenes: regenerate when
+    absent or when the scene was written by an older generator (its gt
+    geometry changed), and clear the scene's ``result/`` caches (init
+    checkpoints, skinner caches) which were computed from the stale gt."""
+    meta_path = osp.join(out_dir, "scene_meta.json")
+    if osp.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("version") == SCENE_VERSION:
+            return out_dir
+    import shutil
+
+    if osp.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    return generate_scene(out_dir, **kwargs)

@@ -57,10 +57,19 @@ def boundary_curve_best_match(source_pts: np.ndarray, target_pts: np.ndarray,
 
 def match_template_boundaries(verts: np.ndarray, boundary_labels: dict,
                               curves_by_name: dict,
-                              similarity_gate: float = 0.5):
+                              similarity_gate: float = 0.5,
+                              outlier_gate: float = 3.0):
     """Best-match every labeled boundary loop to its curve. Returns
     (constraint_vertex_ids (M,), constraint_targets (M,3)) ready for the
-    Laplacian editing solve."""
+    Laplacian editing solve.
+
+    Per loop, handles whose displacement is an extreme outlier
+    (> ``outlier_gate`` × the loop's median, and > 5 cm) are dropped:
+    a handful of cross-wired correspondences on a distorted loop act as
+    point torques on the Laplacian solve and fling interior vertices far
+    outside both surfaces (the r3 rim-spill failure). The gate is
+    relative, so a genuinely large rigid offset (all handles move far
+    together) passes untouched."""
     cids, targets = [], []
     for cname, loop in boundary_labels.items():
         if cname not in curves_by_name:
@@ -68,8 +77,10 @@ def match_template_boundaries(verts: np.ndarray, boundary_labels: dict,
         loop = np.asarray(loop)
         sel, tgt = boundary_curve_best_match(
             verts[loop], np.asarray(curves_by_name[cname]), similarity_gate)
-        cids.append(loop[sel])
-        targets.append(tgt)
+        dn = np.linalg.norm(tgt - verts[loop[sel]], axis=1)
+        keep = dn <= max(outlier_gate * float(np.median(dn)), 0.05)
+        cids.append(loop[sel][keep])
+        targets.append(tgt[keep])
     if not cids:
         return np.zeros((0,), np.int64), np.zeros((0, 3), np.float32)
     return np.concatenate(cids), np.concatenate(targets)

@@ -27,6 +27,7 @@ from ..geometry.mesh_utils import (
     boundary_loops,
     close_holes,
     dense_boundary,
+    largest_component,
     slice_mesh_by_vertex_ids,
     vertex_normals,
 )
@@ -132,6 +133,114 @@ def _slice_by_mask(verts, faces, keep_mask):
     return sv, sf, old_ids
 
 
+def _swept_tube_template(name: str, body_verts: np.ndarray, hip_y: float,
+                         top_y: float, top_label: str, bottom_label: str,
+                         sho_x: float, offset: float = 0.012,
+                         ny: int = 33, na: int = 64) -> GarmentTemplate:
+    """Strapless-tube template as a swept cylindrical surface around the
+    torso: radius field r(y, θ) from the body vertices binned on a
+    (height, angle) grid (arm vertices pre-filtered by |x|), holes filled
+    and smoothed, offset outward. Slicing the body mesh cannot produce
+    this template cleanly — the y-band slice drags non-local boundary
+    excursions wherever arm↔torso bridging faces cross the band — and
+    the reference's DeepFashion3D tube templates are proper tubes with
+    two planar rings, which is exactly what this sweep yields."""
+    v = np.asarray(body_verts, np.float32)
+    band = v[(v[:, 1] > hip_y - 0.05) & (v[:, 1] < top_y + 0.05)]
+    band = band[np.abs(band[:, 0]) < 0.8 * abs(sho_x)]
+    ys = np.linspace(hip_y, top_y, ny).astype(np.float32)
+    row = np.clip(np.round((band[:, 1] - hip_y) / (top_y - hip_y) * (ny - 1)),
+                  0, ny - 1).astype(np.int64)
+
+    # per-height axis center (torso axis drifts with belly/back shape)
+    cx = np.zeros((ny, 2), np.float32)
+    cnt = np.zeros(ny)
+    np.add.at(cx, row, band[:, [0, 2]])
+    np.add.at(cnt, row, 1.0)
+    have = cnt > 0
+    cx[have] /= cnt[have, None]
+    for _ in range(ny):                    # fill empty rows from neighbors
+        if have.all():
+            break
+        for i in np.where(~have)[0]:
+            nb = [j for j in (i - 1, i + 1) if 0 <= j < ny and have[j]]
+            if nb:
+                cx[i] = np.mean(cx[nb], 0)
+                have[i] = True
+
+    rel = band[:, [0, 2]] - cx[row]
+    theta = np.arctan2(rel[:, 1], rel[:, 0])
+    col = np.clip(((theta + np.pi) / (2 * np.pi) * na).astype(np.int64), 0, na - 1)
+    R = np.full((ny, na), np.nan, np.float32)
+    rad = np.linalg.norm(rel, axis=1)
+    flat = row * na + col
+    order = np.argsort(rad)                # later (larger) wins
+    Rf = R.reshape(-1)
+    Rf[flat[order]] = rad[order]           # per-bin max radius
+    # fill empty bins by neighbor means (θ wraps), then smooth twice
+    for _ in range(ny + na):
+        nanm = np.isnan(R)
+        if not nanm.any():
+            break
+        nb = np.stack([np.roll(R, 1, 1), np.roll(R, -1, 1),
+                       np.vstack([R[:1], R[:-1]]), np.vstack([R[1:], R[-1:]])])
+        good = ~np.isnan(nb)
+        cnt = good.sum(0)
+        fill = np.where(good, nb, 0.0).sum(0) / np.maximum(cnt, 1)
+        R[nanm & (cnt > 0)] = fill[nanm & (cnt > 0)]
+    for _ in range(2):
+        R = 0.5 * R + 0.125 * (np.roll(R, 1, 1) + np.roll(R, -1, 1)
+                               + np.vstack([R[:1], R[:-1]])
+                               + np.vstack([R[1:], R[-1:]]))
+    R = R + offset
+
+    ang = (np.arange(na) + 0.5) / na * 2 * np.pi - np.pi
+    px = cx[:, None, 0] + R * np.cos(ang)[None, :]
+    pz = cx[:, None, 1] + R * np.sin(ang)[None, :]
+    py = np.broadcast_to(ys[:, None], (ny, na))
+    verts = np.stack([px, py, pz], -1).reshape(-1, 3).astype(np.float32)
+
+    faces = []
+    for i in range(ny - 1):
+        for j in range(na):
+            a = i * na + j
+            b = i * na + (j + 1) % na
+            c = (i + 1) * na + j
+            d = (i + 1) * na + (j + 1) % na
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    faces = np.asarray(faces, np.int64)
+    # outward winding: flip if face normals point toward the axis
+    fn = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                  verts[faces[:, 2]] - verts[faces[:, 0]])
+    fc = verts[faces].mean(1)
+    out_dir = fc - np.concatenate(
+        [np.interp(fc[:, 1], ys, cx[:, 0])[:, None],
+         fc[:, 1:2] * 0,
+         np.interp(fc[:, 1], ys, cx[:, 1])[:, None]], 1)
+    if float(np.sum(np.sum(fn * out_dir, 1))) < 0:
+        faces = faces[:, [0, 2, 1]]
+
+    t = GarmentTemplate(name, verts, faces)
+    t.boundary_labels = {top_label: np.arange((ny - 1) * na, ny * na),
+                         bottom_label: np.arange(0, na)}
+    return t
+
+
+def _tube_top_y(sho_y: float, hip_y: float) -> float:
+    """Strapless (tube-top) upper cut: 80% of the hip→shoulder span,
+    i.e. just below the armpit. Skeleton-derived on purpose: mesh-probing
+    the armpit is fragile (a y<neck_y slice's top boundary is the merged
+    neck+armhole loop — non-planar, narrow at the anatomical neck — the
+    r3 0.27-up rim-spill root cause; and on an A-posed body the hanging
+    arms flank the torso at every height, so 'no arm in this slab'
+    criteria never fire where the armpit actually is). The garment's true
+    extent is subject-specific anyway — the curve fit + registration
+    machinery absorbs the residual, exactly as with the reference's
+    library templates (smpl_clothes_template flat-cut tubes)."""
+    return float(hip_y + 0.8 * (sho_y - hip_y))
+
+
 def procedural_template(garment_name: str, body_verts: np.ndarray,
                         body_faces: np.ndarray, joints: np.ndarray) -> GarmentTemplate:
     """Slice the A-pose body into a garment patch using skeleton planes.
@@ -171,14 +280,15 @@ def procedural_template(garment_name: str, body_verts: np.ndarray,
     elif garment_name == "no_sleeve_upper":
         keep = torso
         curve_y = {"neck": neck_y, "bottom_curve": hip_y}
-    elif garment_name == "tube":
-        keep = torso
-        curve_y = {"neck": neck_y, "bottom_curve": hip_y}
-    elif garment_name == "upper_tube":
-        # sleeveless torso tube whose bottom loop is a WAIST shared with a
-        # bottom garment (two-piece subjects — sew_upper_bottom target)
-        keep = torso
-        curve_y = {"neck": neck_y, "upper_bottom": hip_y}
+    elif garment_name in ("tube", "upper_tube"):
+        # strapless: swept cylindrical surface ending flat below the
+        # armpits ("upper_tube" variant: the bottom loop is a WAIST
+        # shared with a bottom garment — sew_upper_bottom target)
+        top_y = _tube_top_y(sho_l[1], hip_y)
+        bottom_label = ("bottom_curve" if garment_name == "tube"
+                        else "upper_bottom")
+        return _swept_tube_template(garment_name, v, hip_y, top_y,
+                                    "neck", bottom_label, sho_l[0])
     elif garment_name == "dress":
         keep = (y > knee_y) & (y < neck_y)
         keep &= ~((np.abs(x) > abs(elb_l[0])) & (y > hip_y))
@@ -196,6 +306,10 @@ def procedural_template(garment_name: str, body_verts: np.ndarray,
         raise ValueError(f"no procedural template for {garment_name}")
 
     sv, sf, _ = _slice_by_mask(v, body_faces, keep)
+    # keep the torso component only: a y-band slice also catches the
+    # disconnected arm segments passing diagonally through the band
+    # (A-pose), and their cut rings pollute boundary-loop labeling
+    sv, sf = largest_component(sv, sf)
     # offset outward so the garment sits above the skin
     sn = vertex_normals(sv, sf)
     sv = sv + sn * 0.012

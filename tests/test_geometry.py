@@ -273,3 +273,33 @@ class TestRemeshRelabel:
         assert set(nlabels) == {"neck", "bottom_curve"}
         # relabeled loops sit at the right heights
         assert nv[nlabels["neck"], 1].mean() > nv[nlabels["bottom_curve"], 1].mean()
+
+
+class TestHandleOutlierGate:
+    def test_outlier_handles_dropped(self):
+        """A few cross-wired correspondences (far targets) act as point
+        torques on the Laplacian solve; match_template_boundaries gates
+        them per loop (> 3x median displacement and > 5 cm)."""
+        from recmv_tpu.geometry.matching import match_template_boundaries
+
+        v, f = open_cylinder()
+        loops = boundary_loops(f)
+        tgt = v[loops[0]] + np.asarray([0.0, 0.02, 0.0])  # small move
+        tgt[3] += np.asarray([0.0, 0.4, 0.0])             # one wild target
+        cids, tgts = match_template_boundaries(
+            v, {"neck": loops[0]}, {"neck": tgt})
+        d = np.linalg.norm(tgts - v[cids], axis=1)
+        assert float(d.max()) < 0.1, "wild handle survived the gate"
+        assert len(cids) >= len(loops[0]) - 2
+
+    def test_uniform_large_offset_passes(self):
+        """The gate is relative: a genuinely large rigid offset (all
+        handles move together) must NOT be dropped."""
+        from recmv_tpu.geometry.matching import match_template_boundaries
+
+        v, f = open_cylinder()
+        loops = boundary_loops(f)
+        tgt = v[loops[0]] + np.asarray([0.0, 0.3, 0.0])
+        cids, tgts = match_template_boundaries(
+            v, {"neck": loops[0]}, {"neck": tgt})
+        assert len(cids) == len(loops[0])

@@ -3,6 +3,7 @@ translator near-identity init, SMPL kinematics, skinner round trips,
 camera projective geometry."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -268,3 +269,51 @@ class TestCompositeDeformer:
         # near-identity translator → output ≈ skinner-only output
         sk_only = skinner_apply(sk, ps, poses, trans)
         assert np.abs(np.asarray(out - sk_only)).max() < 0.05
+
+
+class TestProceduralTemplates:
+    """Strapless tube templates must have exactly two PLANAR boundary
+    rings (the r3 rim-spill root cause: a y-band body slice gives a
+    merged neck+armhole top loop spanning 0.37 in y, which wrecks the
+    curve rigid+scale fit and the Laplacian boundary alignment)."""
+
+    def _tube(self, name):
+        from recmv_tpu.models.garment import garment_templates_from_body
+
+        model = synthetic_body_model()
+        v = np.asarray(model.v_template)
+        J = np.asarray(model.J_regressor @ v)
+        return garment_templates_from_body(
+            [name], v, np.asarray(model.faces), J, None)[0]
+
+    @pytest.mark.parametrize("name", ["tube", "upper_tube"])
+    def test_two_planar_rings(self, name):
+        from recmv_tpu.geometry.mesh_utils import boundary_loops
+
+        t = self._tube(name)
+        loops = boundary_loops(np.asarray(t.faces))
+        assert len(loops) == 2
+        assert len(t.boundary_labels) == 2
+        for cname, loop in t.boundary_labels.items():
+            ys = np.asarray(t.verts)[np.asarray(loop), 1]
+            assert ys.std() < 1e-4, f"{cname} ring is not planar"
+        # top ring above bottom ring, both wider than the anatomical neck
+        labels = dict(t.boundary_labels)
+        top = np.asarray(t.verts)[labels["neck"]]
+        assert top[:, 1].mean() > 0.1
+        r = np.linalg.norm(top[:, [0, 2]] - top[:, [0, 2]].mean(0), axis=1)
+        assert r.mean() > 0.08  # torso-wide, not neck-narrow
+
+    def test_outward_normals_and_closable(self):
+        from recmv_tpu.geometry.mesh_utils import vertex_normals
+
+        t = self._tube("tube")
+        v = np.asarray(t.verts)
+        n = vertex_normals(v, np.asarray(t.faces))
+        center = v.mean(0)
+        radial = v - center
+        radial[:, 1] = 0.0
+        cos = np.sum(n * radial, 1)
+        assert (cos > 0).mean() > 0.9  # normals point away from the axis
+        cv, cf, cn = t.dense_boundary(1).close_hole()
+        assert np.isfinite(cv).all() and np.isfinite(cn).all()

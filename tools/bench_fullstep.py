@@ -81,15 +81,17 @@ def main(argv=None):
     from recmv_tpu.core.builder import build_opt_net, resolution_pyramids
     from recmv_tpu.core.network import TrainConfig
     from recmv_tpu.data.dataset import get_dataset_and_loader
-    from recmv_tpu.data.synthetic import generate_scene
+    from recmv_tpu.data.synthetic import SCENE_VERSION, ensure_scene
 
     dev = jax.devices()[0]
     scene = f"{args.scene}_{args.image}_{args.frames}"
-    if not osp.isfile(osp.join(scene, "camera.npz")):
-        print(f"[bench] generating {args.image}px scene ...", flush=True)
-        t0 = time.time()
-        generate_scene(scene, n_frames=args.frames, image_size=args.image,
-                       skinner_res=(49, 81, 25), raster_cap=2048)
+    if not osp.isfile(osp.join(scene, "scene_meta.json")):
+        print(f"[bench] generating {args.image}px scene (v{SCENE_VERSION}) ...",
+              flush=True)
+    t0 = time.time()
+    ensure_scene(scene, n_frames=args.frames, image_size=args.image,
+                 skinner_res=(49, 81, 25), raster_cap=2048)
+    if time.time() - t0 > 5:
         print(f"[bench] scene in {time.time()-t0:.1f}s", flush=True)
 
     conf = ConfigFactory.parse_file(

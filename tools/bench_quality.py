@@ -61,15 +61,14 @@ def main(argv=None):
     from recmv_tpu.core.inference import GarmentInference
     from recmv_tpu.core.network import TrainConfig
     from recmv_tpu.data.dataset import get_dataset_and_loader
-    from recmv_tpu.data.synthetic import generate_scene
+    from recmv_tpu.data.synthetic import ensure_scene
     from recmv_tpu.geometry.nricp import NricpConfig
     from recmv_tpu.ops.knn import chamfer_distance
     from recmv_tpu.utils.io import load_obj
 
     scene = f"{args.scene}_{args.image}_{args.frames}"
-    if not osp.isfile(osp.join(scene, "camera.npz")):
-        generate_scene(scene, n_frames=args.frames, image_size=args.image,
-                       skinner_res=(33, 57, 17))
+    ensure_scene(scene, n_frames=args.frames, image_size=args.image,
+                 skinner_res=(33, 57, 17))
 
     conf = ConfigFactory.parse_file(
         osp.join(REPO, "configs", "synthetic", "smoke.conf"))

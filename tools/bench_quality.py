@@ -105,11 +105,22 @@ def main(argv=None):
     from recmv_tpu.models.garment_model import make_deform_fn, split_deform_conds
     from recmv_tpu.ops.knn import knn as _knn
 
+    from recmv_tpu.geometry.mesh_utils import sample_mesh_surface
+
+    def _gt_surface(fid, n=100_000):
+        """Dense area-weighted sample of the GT surface: the raw GT mesh
+        is coarse (~2.3k verts, ~1 cm spacing), so point-to-VERTEX
+        distances carry an ~8 mm discretization floor that swamps the
+        model error; sampling measures distance to the surface."""
+        z = np.load(osp.join(scene, "gt_meshes", f"{fid}.npz"))
+        pts, _ = sample_mesh_surface(z["verts"], z["faces"], n, seed=fid)
+        return pts
+
     def _pose_to_gt(vs, fid):
         posed = net._deform_garment_verts(
             {"translator": net.params["translator"]}, net.scene_tree(),
             [jnp.asarray(vs)], jnp.asarray([fid]), ratio)[0][0]
-        gt = np.load(osp.join(scene, "gt_meshes", f"{fid}.npz"))["verts"]
+        gt = _gt_surface(fid)
         d2, _ = _knn(jnp.asarray(posed), jnp.asarray(gt, jnp.float32), 1)
         return round(float(jnp.sqrt(jnp.mean(d2))), 6)
 
@@ -199,7 +210,7 @@ def main(argv=None):
         cands = glob.glob(osp.join(out_dir, "meshs", f"{fid:04d}_*.obj"))
         if not osp.isfile(gp) or not cands:
             continue
-        gt = np.load(gp)["verts"]
+        gt = _gt_surface(fid)
         pred = np.concatenate([load_obj(c)[0] for c in cands], 0)
         dists.append(float(chamfer_distance(jnp.asarray(pred, jnp.float32),
                                             jnp.asarray(gt))))

@@ -98,6 +98,11 @@ class TrainConfig:
     # nothing downstream while cutting the raster cost ~16x (VERDICT r2
     # next-round #1a). 1 = full resolution.
     zbuf_downscale: int = 4
+    # ray-seeding raster resolution divisor (find_and_sample_rays): the
+    # seed raster nominates candidate pixels on a 1/s-strided full-res
+    # grid; mask test, gt color and the solved intersection stay exact.
+    # 1 = nominate from every pixel (reference-exact sampling pool).
+    seed_downscale: int = 2
     # True: block_until_ready at each phase boundary so info['t_*'] are
     # real per-phase walls. False (default): phases are dispatched
     # back-to-back with a single device sync at the end of the step —
@@ -143,13 +148,24 @@ class GarmentOptimNetwork:
         self.mesh: MeshState | None = None
         self.opt_times = 0.0
         self.remesh_time = 0.0
+        self._remeshed_at = -1.0
+        # compacted active-cell capacity for MC extraction: sized for the
+        # observed ~60-120k active cells at the fine pyramid (capacity_f
+        # would be the 33x-oversized worst case); grows on overflow
+        self._mc_active_cap = max(2048, self.cfg.mc_capacity_f >> 4)
         self.isfine = False
         self.info = {}
         self.ang_thred = None
         self.dct_null = jnp.asarray(dct_null_space(10, 30))
         self._scene_dev = None   # device-resident scene tree (scene_tree)
         self._scene_dirty = False
+        # fused whole-step executable health: the axon remote-compile
+        # service occasionally drops very large modules mid-response;
+        # when the fused program can't compile we degrade to the
+        # per-phase executables instead of failing the run
+        self._fused_ok = True
         self._batch_dev_cache = {}   # compact per-frame-batch device arrays
+        self._jit_misc = {}          # small cached jitted helpers (mask pool)
 
         # optimizers
         lr = conf.get_float("train.learning_rate", 1e-4) if "train" in conf else 1e-4
@@ -276,8 +292,9 @@ class GarmentOptimNetwork:
         1200-epoch inits; clipping extraction to the template bbox (+
         margin, set in initialize_tmp_sdf) is the robust equivalent —
         training losses still see the raw SDF."""
+        active_cap = min(self._mc_active_cap, self.cfg.mc_capacity_f)
         key = ("extract", cfg, static, float(balance_value),
-               self.cfg.mc_capacity_v, self.cfg.mc_capacity_f)
+               self.cfg.mc_capacity_v, self.cfg.mc_capacity_f, active_cap)
         if key not in self._extract_cache:
             spacing, origin = final_grid_spacing(cfg)
 
@@ -293,6 +310,7 @@ class GarmentOptimNetwork:
                     vol, balance_value, origin, spacing,
                     max_verts=self.cfg.mc_capacity_v,
                     max_faces=self.cfg.mc_capacity_f,
+                    active_cap=active_cap,
                 )
 
             from ..utils.exec_cache import LazyAot, cache_enabled
@@ -313,15 +331,25 @@ class GarmentOptimNetwork:
             return self._NO_CLIP
         return boxes[gi]
 
-    def discretize_sdf(self, ratio, balance_value: float = 0.0, seg3d_cfg=None):
+    def discretize_sdf(self, ratio, balance_value: float = 0.0, seg3d_cfg=None,
+                       include_body: bool = True):
         """Seg3dLossless over each SDF → fixed-capacity meshes
-        (discretizeSDF, OptimGarmentNetwork.py:581-618)."""
+        (discretizeSDF, OptimGarmentNetwork.py:581-618).
+
+        ``include_body=False`` extracts only the garment SDFs: the MC
+        body mesh has no consumer during training (visibility gates and
+        all exports use the posed SMPL template ``tmp_body_vs``), so
+        in-training remeshes skip it — roughly half the remesh wall at
+        the fine pyramid. The first remesh (and every inference-time
+        call) still extracts it."""
         import sys as _sys, time as _t
 
         cfg = seg3d_cfg or self.seg3d_cfg
         r = self._ratio_dict(ratio)["sdfRatio"]
         out = []
-        nets = [("body", None)] + [(n, i) for i, n in enumerate(self.statics.garment_names)]
+        nets = [(n, i) for i, n in enumerate(self.statics.garment_names)]
+        if include_body:
+            nets = [("body", None)] + nets
         for name, gi in nets:
             if gi is None:
                 fn = self._get_extract_fn(cfg, self.statics.sdf, balance_value)
@@ -331,8 +359,25 @@ class GarmentOptimNetwork:
                 prm = self.params["garment_sdfs"][gi]
             bmin, bmax = self._extract_bbox(gi)
             _t0 = _t.time()
-            v, f, nv, nf = jax.block_until_ready(
+            v, f, nv, nf, n_active = jax.block_until_ready(
                 fn(prm, r, jnp.asarray(bmin), jnp.asarray(bmax)))
+            # active-cell capacity is a throughput knob, never silent
+            # truncation: grow (with hysteresis) and re-extract on
+            # overflow — recompiles once, then stays warm
+            while (int(n_active) > min(self._mc_active_cap,
+                                       self.cfg.mc_capacity_f)
+                   and self._mc_active_cap < self.cfg.mc_capacity_f):
+                self._mc_active_cap = min(
+                    self.cfg.mc_capacity_f,
+                    1 << int(np.ceil(np.log2(int(n_active) * 1.3))))
+                _sys.stderr.write(f"[net] extract {name}: active cells "
+                                  f"{int(n_active)} overflow; growing cap "
+                                  f"to {self._mc_active_cap}\n")
+                fn = self._get_extract_fn(cfg, (self.statics.sdf if gi is None
+                                                else self.statics.garment_sdf),
+                                          balance_value)
+                v, f, nv, nf, n_active = jax.block_until_ready(
+                    fn(prm, r, jnp.asarray(bmin), jnp.asarray(bmax)))
             _sys.stderr.write(f"[net] extract {name}: {_t.time()-_t0:.1f}s "
                               f"nv={int(nv)}\n"); _sys.stderr.flush()
             out.append((v, f, int(nv), int(nf)))
@@ -420,6 +465,7 @@ class GarmentOptimNetwork:
             garment_fn=[len(g[1]) for g in garments],
         )
         self.remesh_time = 1.0 + np.floor(self.remesh_time)
+        self._remeshed_at = self.opt_times
         self.vert_opt_state = self.vert_opt.init(tuple(self.mesh.garment_vs))
         if self.params.get("curves"):
             self.curve_opt_state = self.curve_opt.init(self.params["curves"])
@@ -436,11 +482,19 @@ class GarmentOptimNetwork:
 
         _sys.stderr.write("[net] remesh: discretizing SDFs...\n"); _sys.stderr.flush()
         _t0 = _t.time()
-        meshes = self.discretize_sdf(ratio, -self.sdf_shrink)
+        fresh_body = self.mesh is None
+        meshes = self.discretize_sdf(ratio, -self.sdf_shrink,
+                                     include_body=fresh_body)
         _t1 = _t.time()
-        body = meshes[0]
-        garments = meshes[1:]
-        assert body[2] > 0, "tmp sdf vanished"
+        if fresh_body:
+            body = meshes[0]
+            garments = meshes[1:]
+            assert body[2] > 0, "tmp sdf vanished"
+        else:
+            # body MC mesh has no in-training consumer; keep the previous
+            # extraction (see discretize_sdf docstring)
+            body = (None, None, self.mesh.body_n, None)
+            garments = meshes
 
         def cap_of(n):
             # slack 1.15: the padded tail feeds every downstream bin sort
@@ -459,7 +513,10 @@ class GarmentOptimNetwork:
             cf = min(cap_of(nf), f.shape[1])
             return _trim_mesh(v, f, cv, cf)
 
-        b_v, b_f = trim(*body)
+        if fresh_body:
+            b_v, b_f = trim(*body)
+        else:
+            b_v, b_f = self.mesh.body_vs, self.mesh.body_fs
         g_trim = [trim(*g) for g in garments]
         self.mesh = MeshState(
             body_vs=b_v, body_fs=b_f, body_n=body[2],
@@ -469,6 +526,7 @@ class GarmentOptimNetwork:
             garment_fn=[g[3] for g in garments],
         )
         self.remesh_time = 1.0 + np.floor(self.remesh_time)
+        self._remeshed_at = self.opt_times   # dedupe warm_start + step-1
         self.vert_opt_state = self.vert_opt.init(tuple(self.mesh.garment_vs))
         if self.params.get("curves"):
             self.curve_opt_state = self.curve_opt.init(self.params["curves"])
@@ -706,7 +764,7 @@ class GarmentOptimNetwork:
     # ------------------------------------------------------------------
 
     def pc_branch_loss(self, garment_vs_tuple, gparams, frame_ids, gt_garment_masks,
-                       ratio, counts):
+                       ratio, counts, gt_pooled=None):
         """mask_loss (OptimGarmentNetwork.py:841-981): joint point-cloud
         rendering of all garments with per-garment feature split (handles
         inter-garment occlusion), IoU vs max-pooled gt masks + deformation
@@ -735,9 +793,15 @@ class GarmentOptimNetwork:
 
         total = 0.0
         info = {}
-        # gt masks travel to the device as bool (_device_batch)
-        mgt_list = [L.max_pool_mask(m.astype(jnp.float32), radius_px)
-                    for m in gt_garment_masks]
+        # gt masks travel to the device as bool (_device_batch); their
+        # dilation is static per (frame batch, radius) so the device
+        # batch caches it (gt_pooled) — recomputing the 1080² 13×13
+        # reduce_window every step cost ~20 ms/step on-device in r3
+        if gt_pooled is not None:
+            mgt_list = list(gt_pooled)
+        else:
+            mgt_list = [L.max_pool_mask(m.astype(jnp.float32), radius_px)
+                        for m in gt_garment_masks]
 
         # per-garment section one-hots as feature channels: one fused
         # composite pass renders every garment's soft mask at once
@@ -801,6 +865,14 @@ class GarmentOptimNetwork:
         N = frame_ids.shape[0]
         W, H = self.statics.image_size
         budget = max(self.cfg.sample_pix // self.statics.garment_size, 1) * N
+        # Seeding runs at 1/s resolution: the raster only nominates
+        # candidate pixels + Newton seeds — the sampled pixel itself, its
+        # gt mask test and its gt color all stay full-res (strided grid),
+        # and the surface solver's distance/angle gate discards any ray
+        # the coarser hit test mis-nominates. s=2 quarters the dominant
+        # raster + top_k cost of the rays phase.
+        s = max(1, int(self.cfg.seed_downscale))
+        Hs, Ws = H // s, W // s
 
         def_vs = self._deform_garment_verts(
             {"translator": gparams["translator"]}, scene,
@@ -813,7 +885,9 @@ class GarmentOptimNetwork:
 
             def per_frame(pv):
                 scr = screen_with_cam_z(cam, pv)
-                frag = rasterize_mesh(scr, fs, (H, W), tile=self.cfg.raster_tile,
+                if s > 1:
+                    scr = jnp.concatenate([scr[..., :2] / s, scr[..., 2:]], -1)
+                frag = rasterize_mesh(scr, fs, (Hs, Ws), tile=self.cfg.raster_tile,
                                       cap=self.cfg.raster_cap_mesh)
                 hit = (frag.pix_to_face[..., 0] >= 0) & (frag.bary_coords[..., 0, :] > 0).all(-1)
                 fid = jnp.maximum(frag.pix_to_face[..., 0], 0)
@@ -823,15 +897,16 @@ class GarmentOptimNetwork:
                 return hit, pts
 
             hits, pts = jax.lax.map(per_frame, jax.lax.stop_gradient(def_vs[gi]))
-            eligible = hits & (gt_garment_masks[gi] > 0)  # (N, H, W)
+            gt_s = gt_garment_masks[gi][:, ::s, ::s][:, :Hs, :Ws]
+            eligible = hits & (gt_s > 0)  # (N, Hs, Ws)
             flat = eligible.reshape(-1)
             key, sub = jax.random.split(key)
             scores = jnp.where(flat, jax.random.uniform(sub, flat.shape), -1.0)
             _, idx = jax.lax.top_k(scores, min(budget, flat.shape[0]))
             valid = flat[idx]
-            b = idx // (H * W)
-            rr = (idx % (H * W)) // W
-            cc = idx % W
+            b = idx // (Hs * Ws)
+            rr = ((idx % (Hs * Ws)) // Ws) * s
+            cc = (idx % Ws) * s
             init_pts = pts.reshape(-1, 3)[idx]
             pix = jnp.stack([cc.astype(jnp.float32), rr.astype(jnp.float32),
                              jnp.ones_like(cc, jnp.float32)], -1)
@@ -1122,10 +1197,26 @@ class GarmentOptimNetwork:
                 out[k] = jnp.asarray(v > 0)
             else:
                 out[k] = jnp.asarray(v)
+        # pre-dilated garment masks for the pc branch (static per frame
+        # batch; saves a 1080² reduce_window inside every step)
+        W, H = self.statics.image_size
+        radius_px = L.point_render_radius_px(self.cfg.point_radius, H, W)
+        pool = self._pool_jit(radius_px)
+        for k in self._garment_mask_keys():
+            if k in out:
+                out[k + "__pooled"] = pool(out[k])
         if len(self._batch_dev_cache) >= 16:   # FIFO bound on HBM use
             self._batch_dev_cache.pop(next(iter(self._batch_dev_cache)))
         self._batch_dev_cache[key] = out
         return out
+
+    def _pool_jit(self, radius_px):
+        fn = self._jit_misc.get(("pool", radius_px))
+        if fn is None:
+            fn = jax.jit(lambda m: L.max_pool_mask(m.astype(jnp.float32),
+                                                   radius_px))
+            self._jit_misc[("pool", radius_px)] = fn
+        return fn
 
     def _get_jitted(self, N, caps):
         """Phase functions jitted once per (batch size, mesh capacities,
@@ -1149,8 +1240,9 @@ class GarmentOptimNetwork:
         cache["fl"] = _wrap("fl", jax.jit(
             jax.value_and_grad(fl_fn, argnums=(0, 1), has_aux=True)))
 
-        def pc_fn(vs_t, gp, fids, gt_masks, r, counts):
-            loss, (info, _) = self.pc_branch_loss(vs_t, gp, fids, gt_masks, r, counts)
+        def pc_fn(vs_t, gp, fids, gt_masks, r, counts, gt_pooled=None):
+            loss, (info, _) = self.pc_branch_loss(vs_t, gp, fids, gt_masks, r,
+                                                  counts, gt_pooled)
             return loss, info
 
         cache["pc"] = _wrap("pc", jax.jit(
@@ -1204,6 +1296,66 @@ class GarmentOptimNetwork:
 
         cache["vert_update"] = _wrap("vert_update", jax.jit(vert_update_fn))
 
+        # ---- the fused whole-step program -------------------------------
+        # One traced/compiled executable for the entire step. Running the
+        # phases as six separate executables left ~40 % of the step wall
+        # in host/device round trips over the axon transport (module
+        # walls summed to 0.30 s of a 0.59 s step, r3 trace); one program
+        # also lets XLA share work across branches (the garment
+        # deformation feeds pc, rays AND main) and returns every info
+        # scalar in ONE packed vector so the step pays a single D2H
+        # fetch (~30 ms flat latency per fresh buffer on the tunnel).
+        has_curves = (not self.large_pose) and bool(self.params.get("curves"))
+
+        def step_fn(gp, cp, gvs_in, fs_in, cur_st, vert_st, glob_st,
+                    fids, fl_pts, fl_masks, gt_masks, gt_pooled, imgs,
+                    normals, counts, win_ids, r, key, lr_scale):
+            info = {}
+            if has_curves:
+                (fl_loss, info_fl), (g_fl, g_cur) = jax.value_and_grad(
+                    fl_fn, argnums=(0, 1), has_aux=True)(
+                        gp, cp, fids, fl_pts, fl_masks, r, gvs_in, fs_in)
+                new_cp, cur_st = curve_update_fn(g_cur, cp, cur_st)
+                info.update(info_fl)
+                info["fl_loss_total"] = fl_loss
+            else:
+                g_fl = jax.tree_util.tree_map(jnp.zeros_like, gp)
+                new_cp = cp
+
+            (pc_loss, info_pc), (g_verts, g_pc) = jax.value_and_grad(
+                pc_fn, argnums=(0, 1), has_aux=True)(
+                    gvs_in, gp, fids, gt_masks, r, counts, gt_pooled)
+            new_gvs, vert_st = vert_update_fn(g_verts, gvs_in, vert_st, counts)
+            info.update(info_pc)
+            info["pc_loss_total"] = pc_loss
+
+            solved, key = rays_fn(gp, fids, gt_masks, r, key, new_gvs, fs_in)
+            for gi, gname in enumerate(self.statics.garment_names):
+                info[f"{gname}_rayConv"] = jnp.sum(solved[gi]["conv"])
+
+            (m_loss, info_m), g_main = jax.value_and_grad(
+                main_fn, has_aux=True)(
+                    gp, new_cp, solved, fids, imgs, normals, new_gvs,
+                    counts, win_ids, r, key)
+            info.update(info_m)
+
+            new_gp, glob_st, gnorms = update_fn(g_fl, g_pc, g_main, gp,
+                                                glob_st, lr_scale)
+            info.update(gnorms)
+            info["m_loss_total"] = m_loss
+            names = sorted(info)
+            packed = jnp.stack(
+                [jnp.asarray(info[k], jnp.float32).reshape(()) for k in names])
+            # names travel as a dict-of-positions so the output TREE (which
+            # the exec cache serializes) carries them — a cache hit never
+            # re-traces this function.
+            name_tree = {k: jnp.asarray(i, jnp.int32)
+                         for i, k in enumerate(names)}
+            return (new_gp, new_cp, new_gvs, cur_st, vert_st, glob_st,
+                    m_loss, packed, name_tree)
+
+        cache["step"] = _wrap("step", jax.jit(step_fn))
+
         self._jit_cache = cache
         return cache
 
@@ -1217,7 +1369,7 @@ class GarmentOptimNetwork:
         self.pmesh = mesh
 
     def _shard_step_inputs(self, gparams, imgs, normals, gt_masks, fl_pts,
-                           fl_masks):
+                           fl_masks, gt_pooled=None):
         """device_put the step inputs per scene_shardings(pmesh)."""
         from ..parallel.mesh import scene_shardings
 
@@ -1227,6 +1379,9 @@ class GarmentOptimNetwork:
         if normals is not None:
             normals = put(normals, sh["image"])
         gt_masks = [put(m, sh["image"]) for m in gt_masks]
+        if gt_pooled is not None:
+            gt_pooled = [put(m, sh["image"]) if m is not None else None
+                         for m in gt_pooled]
         fl_pts = put(fl_pts, sh["frame"])
         fl_masks = put(fl_masks, sh["frame"])
         gparams = put(gparams, sh["replicated"])
@@ -1234,7 +1389,7 @@ class GarmentOptimNetwork:
             self.params["curves"] = put(self.params["curves"], sh["replicated"])
         self.mesh.garment_vs = [put(v, sh["replicated"]) for v in self.mesh.garment_vs]
         self.mesh.garment_fs = [put(f, sh["replicated"]) for f in self.mesh.garment_fs]
-        return gparams, imgs, normals, gt_masks, fl_pts, fl_masks
+        return gparams, imgs, normals, gt_masks, fl_pts, fl_masks, gt_pooled
 
     def warm_start(self, batch, frame_ids, ratio, key=None):
         """AOT-compile the phase executables in PARALLEL threads before
@@ -1264,6 +1419,40 @@ class GarmentOptimNetwork:
         gt_masks = [dev[k] for k in self._garment_mask_keys()]
         key = jax.random.PRNGKey(0) if key is None else key
 
+        if not self.cfg.profile_phases and self._fused_ok:
+            # fused path: one program to build (exec-cache hit = one
+            # deserialize). Compiling it serially is also what keeps its
+            # StableHLO — and so its cache key — deterministic: parallel
+            # phase lowering raced on the shared Pallas kernel cache and
+            # stamped the winner's call-stack locations into every
+            # consumer module (see utils/exec_cache).
+            dct_w = float(self.conf.get_float("dct_weight", 0.0))
+            win_ids = None
+            if dct_w > 0 and self.dataset.frame_num > self.dct_null.shape[1]:
+                win_ids = jnp.asarray(
+                    self._window_ids(np.asarray(frame_ids),
+                                     self.dct_null.shape[1]))
+            gt_pooled = [dev.get(k + "__pooled")
+                         for k in self._garment_mask_keys()]
+            args = (gparams, self.params.get("curves"), gvs, fs_t,
+                    self.curve_opt_state, self.vert_opt_state,
+                    self.global_opt_state, frame_ids, dev["fl_pts"],
+                    dev["fl_masks"], gt_masks, gt_pooled, dev["img"],
+                    dev.get("normal"), counts, win_ids, r, key,
+                    jnp.asarray(self._lr_scale, jnp.float32))
+            try:
+                if hasattr(fns["step"], "warm"):
+                    fns["step"].warm(*args)
+                else:
+                    fns["step"].lower(*args).compile()
+                return
+            except Exception as e:  # remote-compile drop / OOM: degrade
+                import sys as _sys
+                _sys.stderr.write(f"[warm_start] fused step compile failed "
+                                  f"({type(e).__name__}: {e}); falling back "
+                                  f"to per-phase executables\n")
+                self._fused_ok = False
+
         def compile_one(name, args):
             try:
                 if hasattr(fns[name], "warm"):   # LazyAot: exec-cache load
@@ -1274,7 +1463,9 @@ class GarmentOptimNetwork:
                 import sys
                 sys.stderr.write(f"[warm_start] {name}: {e}\n")
 
-        wave1 = [("pc", (gvs, gparams, frame_ids, gt_masks, r, counts)),
+        wave1 = [("pc", (gvs, gparams, frame_ids, gt_masks, r, counts,
+                         [dev.get(k + "__pooled")
+                          for k in self._garment_mask_keys()])),
                  ("rays", (gparams, frame_ids, gt_masks, r, key, gvs, fs_t))]
         if not self.large_pose:
             wave1.append(("fl", (gparams, self.params["curves"], frame_ids,
@@ -1317,7 +1508,8 @@ class GarmentOptimNetwork:
         r = self._ratio_dict(ratio)
 
         _t0 = _time.time()
-        if self.mesh is None or (self.opt_times % self.cfg.remesh_intersect == 0):
+        if self.mesh is None or (self.opt_times % self.cfg.remesh_intersect == 0
+                                 and self._remeshed_at != self.opt_times):
             self.marching_cube_update(r)
         self.info["t_remesh"] = _time.time() - _t0
 
@@ -1335,16 +1527,62 @@ class GarmentOptimNetwork:
         gparams = self._global_params()
         dev = self._device_batch(batch, frame_ids)
         gt_garment_masks = [dev[k] for k in self._garment_mask_keys()]
+        gt_pooled = [dev.get(k + "__pooled") for k in self._garment_mask_keys()]
         fl_pts = dev["fl_pts"]
         fl_masks = dev["fl_masks"]
         imgs = dev["img"]
         normals = dev.get("normal")
         if self.pmesh is not None:
             (gparams, imgs, normals, gt_garment_masks, fl_pts,
-             fl_masks) = self._shard_step_inputs(
-                gparams, imgs, normals, gt_garment_masks, fl_pts, fl_masks)
+             fl_masks, gt_pooled) = self._shard_step_inputs(
+                gparams, imgs, normals, gt_garment_masks, fl_pts, fl_masks,
+                gt_pooled)
             gvs = tuple(self.mesh.garment_vs)
             fs_t = tuple(self.mesh.garment_fs)
+
+        dct_w_f = float(self.conf.get_float("dct_weight", 0.0))
+        win_ids_f = None
+        if dct_w_f > 0 and self.dataset.frame_num > self.dct_null.shape[1]:
+            win_ids_f = jnp.asarray(
+                self._window_ids(np.asarray(frame_ids), self.dct_null.shape[1]))
+
+        if not self.cfg.profile_phases and self._fused_ok:
+            # fused path: ONE executable for the whole step, ONE packed
+            # info fetch (see _get_jitted's step_fn)
+            key_f = jax.random.PRNGKey(int(self.opt_times)) if key is None else key
+            cp = self.params.get("curves")
+            try:
+                (gparams_n, new_cp, new_gvs, cur_st, vert_st, glob_st,
+                 m_loss, packed, name_tree) = fns["step"](
+                    gparams, cp, gvs, fs_t, self.curve_opt_state,
+                    self.vert_opt_state, self.global_opt_state, frame_ids,
+                    fl_pts, fl_masks, gt_garment_masks, gt_pooled, imgs,
+                    normals, counts, win_ids_f, r, key_f,
+                    jnp.asarray(self._lr_scale, jnp.float32))
+            except Exception as e:  # compile drop: degrade to split phases
+                import sys as _sys
+                _sys.stderr.write(f"[train_step] fused step failed "
+                                  f"({type(e).__name__}: {e}); falling back "
+                                  f"to per-phase executables\n")
+                self._fused_ok = False
+            else:
+                self.curve_opt_state = cur_st
+                self.vert_opt_state = vert_st
+                self.global_opt_state = glob_st
+                if cp is not None:
+                    self.params["curves"] = new_cp
+                self.mesh.garment_vs = list(new_gvs)
+                self._write_back(gparams_n)
+                budget = max(self.cfg.sample_pix // self.statics.garment_size, 1) * N
+                for gname in self.statics.garment_names:
+                    self.info[f"{gname}_rayBudget"] = budget
+                vals = np.asarray(packed)   # single D2H for every info scalar
+                order = sorted(name_tree)
+                self.info.update({k: float(vals[i]) for i, k in enumerate(order)})
+                total = self.info.get("m_loss_total", float("nan"))
+                self.info["t_update"] = _time.time() - _t0
+                self.opt_times += 1.0
+                return total, self.info
 
         # All phases are dispatched back-to-back; info scalars stay on
         # device until ONE sync at the end of the step (per-phase float()
@@ -1370,7 +1608,7 @@ class GarmentOptimNetwork:
 
         # ② mask branch
         (pc_loss, pc_info), (g_verts, g_pc_global) = fns["pc"](
-            gvs, gparams, frame_ids, gt_garment_masks, r, counts)
+            gvs, gparams, frame_ids, gt_garment_masks, r, counts, gt_pooled)
         new_gvs, self.vert_opt_state = fns["vert_update"](
             g_verts, gvs, self.vert_opt_state, counts)
         self.mesh.garment_vs = list(new_gvs)

@@ -119,7 +119,25 @@ def optimize_surface_points(
 
     MAX_STEP = 0.05   # canonical units; 20 iterations still cover ±1
     unfinished0 = valid & ~converged(init_pts)
-    pts, unfinished = jax.lax.fori_loop(0, times, body, (init_pts, unfinished0))
+    # while_loop with a convergence predicate instead of a fixed fori:
+    # rasterizer seeds start within ~a pixel of the surface, so the
+    # batch typically drains in 5-10 Newton steps — the remaining
+    # iterations were pure cost (each runs the full deformer + SDF).
+    # ``times`` stays the hard bound (FindSurfacePs.py:273 runs a fixed
+    # 20); the fixed point is identical because converged points never
+    # move again either way.
+
+    def cond(carry):
+        pts, unfinished, it = carry
+        return (it < times) & jnp.any(unfinished)
+
+    def wbody(carry):
+        pts, unfinished, it = carry
+        pts, unfinished = body(it, (pts, unfinished))
+        return pts, unfinished, it + 1
+
+    pts, unfinished, _ = jax.lax.while_loop(
+        cond, wbody, (init_pts, unfinished0, jnp.asarray(0, jnp.int32)))
     pts = jnp.where(jnp.isfinite(pts), pts, 0.0)   # belt and braces
     return jax.lax.stop_gradient(pts), valid & ~unfinished
 

@@ -72,16 +72,26 @@ _EDGE_AXIS_OFFSET = np.array(
 )
 
 
-@partial(jax.jit, static_argnames=("max_verts", "max_faces"))
+@partial(jax.jit, static_argnames=("max_verts", "max_faces", "active_cap"))
 def marching_cubes(vol: jnp.ndarray, level: float = 0.0,
                    origin=(0.0, 0.0, 0.0), spacing=(1.0, 1.0, 1.0),
-                   max_verts: int = 1 << 17, max_faces: int = 1 << 18):
+                   max_verts: int = 1 << 17, max_faces: int = 1 << 18,
+                   active_cap: int | None = None):
     """Extract the iso-surface mesh.
 
     Returns (verts (3, max_verts) world-space, faces (3, max_faces) int32,
-    n_verts, n_faces) — lane-major so TPU tiling doesn't pad a trailing
-    3-dim to 128. Slots beyond the counts hold zeros / degenerate faces.
-    Callers check n_verts <= max_verts (counts are exact).
+    n_verts, n_faces, n_active) — lane-major so TPU tiling doesn't pad a
+    trailing 3-dim to 128. Slots beyond the counts hold zeros / degenerate
+    faces. Callers check n_verts <= max_verts (counts are exact).
+
+    ``active_cap`` bounds the compacted active-cell buffer A. Every
+    per-triangle intermediate is (A·15)-sized, so leaving it at the
+    worst-case ``max_faces`` made the three triangle-table gathers
+    63M-element (4.8 s of the 6.5 s production extract, r3 trace) when
+    the real surface occupies ~60k cells. Size it near the expected
+    active count; the returned ``n_active`` is exact regardless, so a
+    caller seeing ``n_active > active_cap`` must re-extract with a
+    larger cap — capacity is a throughput knob, never silent truncation.
     """
     D, H, W = vol.shape
     origin = jnp.asarray(origin, jnp.float32)
@@ -157,7 +167,8 @@ def marching_cubes(vol: jnp.ndarray, level: float = 0.0,
     cell_active = cell_ntri_all > 0
     ccsum = jnp.cumsum(cell_active.astype(jnp.int32))
     cslots = ccsum - 1
-    A = max_faces  # every active cell emits ≥1 triangle → #active ≤ #faces
+    # every active cell emits ≥1 triangle → #active ≤ #faces bounds it
+    A = max_faces if active_cap is None else min(active_cap, max_faces)
     ctarget = jnp.where(cell_active & (cslots < A), cslots, A)
     cell_ids = jnp.zeros((A + 1,), jnp.int32).at[ctarget].set(
         jnp.arange(cfg.shape[0], dtype=jnp.int32), mode="drop")[:A]
@@ -204,14 +215,14 @@ def marching_cubes(vol: jnp.ndarray, level: float = 0.0,
     fmask = jnp.arange(max_faces) < n_faces
     faces = jnp.stack([jnp.where(fmask, c, 0) for c in fcols], axis=0)  # (3, F)
 
-    return verts, faces, n_verts, n_faces
+    return verts, faces, n_verts, n_faces, n_active
 
 
 def marching_cubes_np(vol, level=0.0, origin=(0, 0, 0), spacing=(1, 1, 1),
                       max_verts=1 << 17, max_faces=1 << 18):
     """Host wrapper returning trimmed numpy arrays."""
-    v, f, nv, nf = marching_cubes(jnp.asarray(vol), level, origin, spacing,
-                                  max_verts=max_verts, max_faces=max_faces)
+    v, f, nv, nf, _ = marching_cubes(jnp.asarray(vol), level, origin, spacing,
+                                     max_verts=max_verts, max_faces=max_faces)
     nv = int(nv)
     nf = int(nf)
     if nv > max_verts or nf > max_faces:

@@ -29,14 +29,59 @@ import pickle
 import sys
 
 
-def _module_bytes(lowered) -> bytes:
-    """Deterministic bytes of a ``jax.stages.Lowered``'s StableHLO."""
-    try:
-        from jax._src.interpreters import mlir
+def _canonicalize_mosaic_payloads(asm: str) -> str:
+    """Replace each Pallas/Mosaic kernel payload with its location-free
+    reprint.
 
-        return mlir.module_to_bytecode(lowered.compiler_ir("stablehlo"))
+    ``tpu_custom_call`` backend_configs embed the Mosaic kernel module as
+    base64 MLIR bytecode INCLUDING debug locations — and those locations
+    name the *caller* that first lowered the (process-wide cached)
+    kernel. When several phase functions share a kernel and are lowered
+    concurrently (warm_start threads), whichever wins the race stamps
+    its call stack into every consumer's StableHLO, making the bytes —
+    and therefore both this cache's keys and XLA's persistent-cache
+    keys — nondeterministic across processes (observed r3: ~600 B of
+    tail metadata differing in 182 MB modules). Decoding each payload
+    and reprinting it without debug info restores a content-only key."""
+    import base64
+    import re
+
+    from jax._src.lib.mlir import ir
+
+    pat = re.compile(r'(body\\22: \\22)([A-Za-z0-9+/=]+)(\\22)')
+
+    def repl(m):
+        try:
+            raw = base64.b64decode(m.group(2))
+            with ir.Context() as ctx:
+                ctx.allow_unregistered_dialects = True
+                mod = ir.Module.parse(raw)
+                canon = mod.operation.get_asm(enable_debug_info=False)
+            digest = hashlib.sha256(canon.encode()).hexdigest()
+            return m.group(1) + digest + m.group(3)
+        except Exception:
+            return m.group(0)
+
+    return pat.sub(repl, asm)
+
+
+def _module_bytes(lowered) -> bytes:
+    """Deterministic bytes of a ``jax.stages.Lowered``'s StableHLO:
+    debug-info-free ASM with Mosaic kernel payloads canonicalized (see
+    :func:`_canonicalize_mosaic_payloads`)."""
+    try:
+        ir_mod = lowered.compiler_ir("stablehlo")
+        asm = ir_mod.operation.get_asm(enable_debug_info=False)
+        if "tpu_custom_call" in asm:
+            asm = _canonicalize_mosaic_payloads(asm)
+        return asm.encode()
     except Exception:
-        return lowered.as_text().encode()
+        try:
+            from jax._src.interpreters import mlir
+
+            return mlir.module_to_bytecode(lowered.compiler_ir("stablehlo"))
+        except Exception:
+            return lowered.as_text().encode()
 
 
 def cache_key(lowered, tag: str = "") -> str:

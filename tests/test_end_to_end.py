@@ -47,6 +47,38 @@ class TestEndToEndSmoke:
         assert "fl_loss_total" in info and "pc_loss_total" in info
         assert any(k.endswith("_grad_loss") for k in info)
 
+    def test_fused_step_matches_split_phases(self, tiny_scene_net):
+        """The fused whole-step executable (cfg.profile_phases=False)
+        computes the SAME losses/params as the per-phase path
+        (profile_phases=True) — they share the branch functions, so any
+        divergence means the fused wiring (update ordering, grad
+        routing) is wrong."""
+        import jax.random as jrandom
+
+        net, dataset, ckpt = tiny_scene_net
+        ratio = {"sdfRatio": 1.0, "deformerRatio": 0.5, "renderRatio": 1.0}
+        outs = {}
+        for mode in (False, True):
+            net.load_checkpoint(ckpt)
+            net.mesh = None
+            net.set_parallel(None)
+            net.cfg.profile_phases = mode
+            net._jit_cache = {}
+            key = jrandom.PRNGKey(7)
+            batch = dataset.get_batch([0, 1])
+            loss, info = net.train_step(batch, [0, 1], ratio, key)
+            loss2, info2 = net.train_step(batch, [0, 1], ratio, key)
+            outs[mode] = (loss2, info, info2,
+                          np.asarray(net.mesh.garment_vs[0]))
+        net.cfg.profile_phases = False
+        l_f, i1_f, i2_f, v_f = outs[False]
+        l_s, i1_s, i2_s, v_s = outs[True]
+        assert np.isclose(l_f, l_s, rtol=1e-4, atol=1e-6), (l_f, l_s)
+        np.testing.assert_allclose(v_f, v_s, rtol=1e-4, atol=1e-6)
+        for k in ("fl_loss_total", "pc_loss_total"):
+            assert np.isclose(i1_f[k], i1_s[k], rtol=1e-4, atol=1e-6), \
+                (k, i1_f[k], i1_s[k])
+
     def test_garment_zbuf_visibility_mode_trains(self, tiny_scene_net):
         """A full train step with fl_visible_method = zbuff_and (body AND
         garment z-buffer gating — the two-garment occlusion mode) stays

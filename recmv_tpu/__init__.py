@@ -28,19 +28,26 @@ __version__ = "0.1.0"
 
 import jax as _jax
 
-# Correctness-first default: f32 matmuls accumulate in f32. JAX's default
-# precision performs bf16-split passes (≈1e-2 relative error) — acceptable
-# for giant NN matmuls, not for per-scene geometric optimization (Jacobian
-# algebra, FK chains, camera math, root-finding). Hot MLP kernels opt into
-# MXU-native bf16 explicitly by casting operands (see ops/ kernels) so the
-# performance-critical path is a deliberate choice, not a silent default.
-_jax.config.update("jax_default_matmul_precision", "float32")
+# Correctness-first default: f32 matmuls accumulate in f32. JAX's DEFAULT
+# precision is a single bf16 pass (≈4e-3 relative error) — acceptable for
+# giant NN matmuls, not for per-scene geometric optimization (Jacobian
+# algebra, FK chains, camera math, root-finding). Geometry-critical sites
+# (camera, FK chains, LBS blends) pin Precision.HIGHEST explicitly, so the
+# *default* only governs the MLP stacks (SDF/translator/render), whose
+# 512-wide layers tolerate bf16x3 ("high", ≈2^-21 relative — far inside
+# the 5e-5 surface-solve tolerance) at ~2x the MXU throughput of bf16x6
+# ("float32"). Override with RECMV_MATMUL_PRECISION=float32 to pin the
+# old full-f32 default everywhere.
+import os as _os
+
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("RECMV_MATMUL_PRECISION", "high"),
+)
 
 # Persistent compilation cache: per-scene optimization re-uses the same
 # executables across runs/phases, and the axon remote compile of large
 # graphs costs minutes — caching them is a large wall-clock win.
-import os as _os
-
 _cache_dir = _os.environ.get("RECMV_COMPILE_CACHE", "/tmp/recmv_jax_cache")
 try:
     _os.makedirs(_cache_dir, exist_ok=True)

@@ -113,6 +113,16 @@ class TrainConfig:
     # StableHLO hash, sidestepping XLA's per-process-unstable cache keys.
     # None → env RECMV_EXEC_CACHE → disabled.
     exec_cache_dir: str | None = None
+    # Garment vertex-capacity floor. Early-training meshes are small, so
+    # pure grow-on-demand buckets start a power of 2 below steady state
+    # and force a full step recompile (153 s over the axon tunnel, r3)
+    # when the mesh crosses the boundary mid-run — and make the
+    # serialized-executable cache key differ between a fresh scene and a
+    # resumed one. -1 = auto: at production grids (>=2^24 final cells)
+    # floor each garment at the expected steady-state surface size
+    # ~1.2 * cells^(2/3) / n_garments (fine (321,417,225) single-garment
+    # → 131072); smaller grids (tests) keep pure grow-on-demand. 0 = off.
+    mesh_cap_floor: int = -1
 
     def __post_init__(self):
         if self.exec_cache_dir is None:
@@ -496,12 +506,14 @@ class GarmentOptimNetwork:
             body = (None, None, self.mesh.body_n, None)
             garments = meshes
 
-        def cap_of(n):
+        floor_v = self._garment_cap_floor()
+
+        def cap_of(n, floor=2048):
             # slack 1.15: the padded tail feeds every downstream bin sort
             # and deformer call, so keep it tight; meshes rarely grow >15%
             # between remeshes (recompile if they do)
             c = 1 << int(np.ceil(np.log2(max(n, 1) * 1.15 + 1)))
-            return max(c, 2048)
+            return max(c, 2048, floor)
 
         def trim(v, f, nv, nf):
             # marching_cubes returns lane-major (3, cap); trim then
@@ -509,8 +521,8 @@ class GarmentOptimNetwork:
             # One jitted call — eager slice/transpose ops each cost a
             # remote-compile round trip over the axon tunnel (~12 s of
             # the r3 warm remesh was this).
-            cv = min(cap_of(nv), v.shape[1])
-            cf = min(cap_of(nf), f.shape[1])
+            cv = min(cap_of(nv, floor_v), v.shape[1])
+            cf = min(cap_of(nf, 2 * floor_v), f.shape[1])
             return _trim_mesh(v, f, cv, cf)
 
         if fresh_body:
@@ -536,6 +548,42 @@ class GarmentOptimNetwork:
                           f"trim+reset {_t.time()-_t1:.1f}s caps="
                           f"{[t[0].shape[0] for t in g_trim]}\n")
         _sys.stderr.flush()
+
+    def step_cost_analysis(self) -> dict | None:
+        """FLOP/byte counts of the current step executables (XLA cost
+        analysis), for honest MFU accounting in the benches. Sums over
+        every phase executable in the live jit cache that has been
+        AOT-compiled (fused mode: just ``step``). None when nothing is
+        compiled yet or the backend can't report costs."""
+        tot = {}
+        for tag, fn in (self._jit_cache or {}).items():
+            compiled = getattr(fn, "_compiled", None)
+            if compiled is None:
+                continue
+            try:
+                ca = compiled.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                for k in ("flops", "bytes accessed"):
+                    if k in ca:
+                        tot[k] = tot.get(k, 0.0) + float(ca[k])
+            except Exception:
+                continue
+        return tot or None
+
+    def _garment_cap_floor(self) -> int:
+        """Resolved garment vertex-capacity floor (TrainConfig.mesh_cap_floor)."""
+        f = int(self.cfg.mesh_cap_floor)
+        if f >= 0:
+            return f
+        cells = 1
+        for d in self.seg3d_cfg.resolutions[-1]:
+            cells *= int(d)
+        if cells < (1 << 24):
+            return 0
+        n_g = max(1, len(self.statics.garment_names))
+        est = 1.2 * cells ** (2.0 / 3.0) / n_g
+        return 1 << int(np.ceil(np.log2(est)))
 
     # ------------------------------------------------------------------
     # shared sub-steps
@@ -817,7 +865,8 @@ class GarmentOptimNetwork:
             scr = jnp.where(valid_all[:, None], scr, jnp.asarray([0.0, 0.0, -1.0]))
             img = composite_points(scr, radius, sections, (H, W),
                                    tile=self.cfg.raster_tile,
-                                   cap=self.cfg.raster_cap_points)
+                                   cap=self.cfg.raster_cap_points,
+                                   features_const=True)
             return jnp.moveaxis(img, -1, 0)  # (G, H, W)
 
         masks = jax.lax.map(render_frame, all_def)  # (N, G, H, W)
@@ -842,14 +891,14 @@ class GarmentOptimNetwork:
                     cons = L.masked_mean(jnp.sqrt(off2 + 1e-12), vmask)
                 info[f"{gname}_defconst_loss"] = cons
                 total = total + cons * cw
-        return total, (info, masks)
+        return total, (info, masks, def_vs)
 
     # ------------------------------------------------------------------
     # ray machinery: find surface seeds → sample ray budget → solve
     # ------------------------------------------------------------------
 
     def find_and_sample_rays(self, gparams, frame_ids, gt_garment_masks, ratio, key,
-                             garment_vs_t, garment_fs_t):
+                             garment_vs_t, garment_fs_t, def_vs=None):
         """find_surface_ps + sample_train_ray (OptimGarmentNetwork.py:742,
         983): rasterize the deformed MC garment meshes, take first-hit
         canonical surface seeds per pixel, keep pixels inside the gt
@@ -874,9 +923,10 @@ class GarmentOptimNetwork:
         s = max(1, int(self.cfg.seed_downscale))
         Hs, Ws = H // s, W // s
 
-        def_vs = self._deform_garment_verts(
-            {"translator": gparams["translator"]}, scene,
-            list(garment_vs_t), frame_ids, ratio)
+        if def_vs is None:
+            def_vs = self._deform_garment_verts(
+                {"translator": gparams["translator"]}, scene,
+                list(garment_vs_t), frame_ids, ratio)
 
         out = []
         for gi in range(self.statics.garment_size):
@@ -969,7 +1019,8 @@ class GarmentOptimNetwork:
             vs = garment_vs_t[gi]
             valid = jnp.arange(vs.shape[0]) < counts[gi]
             sdfv = sdf_value(gparams["garment_sdfs"][gi], self.statics.garment_sdf,
-                             jax.lax.stop_gradient(vs), r["sdfRatio"])
+                             jax.lax.stop_gradient(vs), r["sdfRatio"],
+                             compute_dtype=jnp.bfloat16)
             s_loss = L.sdf_shrink_loss(sdfv, self.sdf_shrink, valid)
             info[f"pc_{gname}_loss_sdf"] = s_loss
             total = total + s_loss * pc_w
@@ -997,7 +1048,8 @@ class GarmentOptimNetwork:
             b = cv[(tri_i + 1) % Sn]
             pts = a * u[:, None] + b * v[:, None] + center * (1 - u - v)[:, None]
             sdfv = sdf_value(gparams["garment_sdfs"][-1], self.statics.garment_sdf,
-                             jax.lax.stop_gradient(pts), r["sdfRatio"])
+                             jax.lax.stop_gradient(pts), r["sdfRatio"],
+                             compute_dtype=jnp.bfloat16)
             ca_loss = jnp.mean(jnp.abs(sdfv + self.sdf_shrink))
             info["curve_aware_loss"] = ca_loss
             total = total + ca_loss * ca_w
@@ -1241,16 +1293,20 @@ class GarmentOptimNetwork:
             jax.value_and_grad(fl_fn, argnums=(0, 1), has_aux=True)))
 
         def pc_fn(vs_t, gp, fids, gt_masks, r, counts, gt_pooled=None):
-            loss, (info, _) = self.pc_branch_loss(vs_t, gp, fids, gt_masks, r,
-                                                  counts, gt_pooled)
-            return loss, info
+            loss, (info, _, def_vs) = self.pc_branch_loss(
+                vs_t, gp, fids, gt_masks, r, counts, gt_pooled)
+            # hand the (stop-gradient) deformed verts to the rays phase:
+            # recomputing the full-capacity skinner+translator pass there
+            # cost ~40 ms/step on-device at the fine caps
+            return loss, (info, jax.tree_util.tree_map(
+                jax.lax.stop_gradient, def_vs))
 
         cache["pc"] = _wrap("pc", jax.jit(
             jax.value_and_grad(pc_fn, argnums=(0, 1), has_aux=True)))
 
-        def rays_fn(gp, fids, gt_masks, r, key, vs_t, fs_t):
+        def rays_fn(gp, fids, gt_masks, r, key, vs_t, fs_t, def_vs=None):
             ray_data, key = self.find_and_sample_rays(gp, fids, gt_masks, r, key,
-                                                      vs_t, fs_t)
+                                                      vs_t, fs_t, def_vs=def_vs)
             solved = self.solve_surface_points(gp, ray_data, fids, r)
             return solved, key
 
@@ -1322,14 +1378,22 @@ class GarmentOptimNetwork:
                 g_fl = jax.tree_util.tree_map(jnp.zeros_like, gp)
                 new_cp = cp
 
-            (pc_loss, info_pc), (g_verts, g_pc) = jax.value_and_grad(
+            (pc_loss, (info_pc, pc_def_vs)), (g_verts, g_pc) = jax.value_and_grad(
                 pc_fn, argnums=(0, 1), has_aux=True)(
                     gvs_in, gp, fids, gt_masks, r, counts, gt_pooled)
             new_gvs, vert_st = vert_update_fn(g_verts, gvs_in, vert_st, counts)
             info.update(info_pc)
             info["pc_loss_total"] = pc_loss
 
-            solved, key = rays_fn(gp, fids, gt_masks, r, key, new_gvs, fs_in)
+            # Seed rays from the PRE-update mesh so the pc branch's
+            # deformation is reused (the reference samples rays after its
+            # garment SGD step, OptimGarmentNetwork.py:1949 after :961 —
+            # one 0.05-lr step of vertex drift; the seeds only NOMINATE
+            # pixels and Newton start points, and the surface solver's
+            # |sdf| + angle gate re-validates every ray, so the nomination
+            # is insensitive to sub-mm seed drift).
+            solved, key = rays_fn(gp, fids, gt_masks, r, key, gvs_in, fs_in,
+                                  pc_def_vs)
             for gi, gname in enumerate(self.statics.garment_names):
                 info[f"{gname}_rayConv"] = jnp.sum(solved[gi]["conv"])
 
@@ -1607,7 +1671,7 @@ class GarmentOptimNetwork:
         self.info["t_fl"] = _time.time() - _t0; _t0 = _time.time()
 
         # ② mask branch
-        (pc_loss, pc_info), (g_verts, g_pc_global) = fns["pc"](
+        (pc_loss, (pc_info, pc_def_vs)), (g_verts, g_pc_global) = fns["pc"](
             gvs, gparams, frame_ids, gt_garment_masks, r, counts, gt_pooled)
         new_gvs, self.vert_opt_state = fns["vert_update"](
             g_verts, gvs, self.vert_opt_state, counts)
@@ -1617,10 +1681,11 @@ class GarmentOptimNetwork:
         _sync(pc_loss)
         self.info["t_pc"] = _time.time() - _t0; _t0 = _time.time()
 
-        # rays + surface solve (no grad)
+        # rays + surface solve (no grad) — seeded from the pre-update
+        # mesh so the pc branch's deformation is reused (see step_fn)
         key = jax.random.PRNGKey(int(self.opt_times)) if key is None else key
         solved, key = fns["rays"](gparams, frame_ids, gt_garment_masks, r, key,
-                                  tuple(self.mesh.garment_vs), fs_t)
+                                  gvs, fs_t, pc_def_vs)
         for gi, gname in enumerate(self.statics.garment_names):
             pending[f"{gname}_rayConv"] = jnp.sum(solved[gi]["conv"])
             self.info[f"{gname}_rayBudget"] = int(solved[gi]["valid"].shape[0])

@@ -128,29 +128,38 @@ def _embed_with_ratio(emb: Embedder, x, ratio):
     return emb(x, annealing_weights(emb.multires, jnp.maximum(ratio, 0.0)))
 
 
-def sdf_apply(params: dict, static: SdfStatic, pts: jnp.ndarray, ratio=None):
+def sdf_apply(params: dict, static: SdfStatic, pts: jnp.ndarray, ratio=None,
+              compute_dtype=None):
     """pts (..., 3) → (sdf (...,), rendcond (..., F)).
 
     ``ratio`` is the PE annealing ratio (float, traced scalar, or the
     reference's dict form {'sdfRatio': r}).
-    """
+
+    ``compute_dtype=jnp.bfloat16`` stores hidden activations bf16 with
+    f32 matmul accumulation (see mlp.linear_apply) — for BULK loss
+    evaluations (pc-sdf on the 131k-capacity mesh verts, curve-aware
+    disc samples) where the ~1e-4-scale output noise is far below the
+    loss signal. Surface-solver / eikonal / render paths must stay f32
+    (the Newton gate converges at |sdf| < 5e-5)."""
     if isinstance(ratio, dict):
         ratio = ratio.get("sdfRatio")
     x = _embed_with_ratio(static.embedder, pts, ratio)
     inp = x
     for l in range(static.n_layers - 1):
         if l in static.skip_in:
-            x = jnp.concatenate([x, inp], axis=-1) / math.sqrt(2.0)
-        x = linear_apply(params[f"lin{l}"], x)
+            x = jnp.concatenate([x, inp.astype(x.dtype)], axis=-1) / math.sqrt(2.0)
+        x = linear_apply(params[f"lin{l}"], x, compute_dtype=compute_dtype)
         if l < static.n_layers - 2:
             x = softplus_beta(x, 100.0)
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
     sdf = x[..., 0]
     rendcond = x[..., static.d_out:]
     return sdf, rendcond
 
 
-def sdf_value(params, static, pts, ratio=None):
-    return sdf_apply(params, static, pts, ratio)[0]
+def sdf_value(params, static, pts, ratio=None, compute_dtype=None):
+    return sdf_apply(params, static, pts, ratio, compute_dtype)[0]
 
 
 def sdf_gradient(params, static, pts, ratio=None):

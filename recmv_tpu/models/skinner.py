@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.grid_sample import grid_sample_3d
+from ..ops.grid_sample import grid_sample_3d, grid_sample_3d_cl
 from ..ops.math3d import batch_rodrigues
 from .smpl import SMPLModel, forward_kinematics, get_smpl, smpl_forward, smpl_skeleton
 
@@ -110,7 +110,13 @@ def sample_skin_weights(sk: SkinnerParams, tps: jnp.ndarray) -> jnp.ndarray:
     sampling of the voxel field (replaces GridSamplerMine; JAX AD provides
     the double-backward the reference hand-wrote in CUDA)."""
     nps = inv_transform_v(sk, tps.reshape(-1, 3))
-    return grid_sample_3d(sk.ws, nps, align_corners=False)
+    # channel-last gather: the stored (24, D, H, W) layout is kept for
+    # checkpoint compatibility; the transpose is loop-invariant (XLA
+    # hoists/CSEs it once per program) while the gather itself drops
+    # from 24 strided tile-pulls to one contiguous row per corner
+    # (ops/grid_sample.grid_sample_3d_cl).
+    vol_cl = jnp.transpose(sk.ws, (1, 2, 3, 0))
+    return grid_sample_3d_cl(vol_cl, nps, align_corners=False)
 
 
 def skinner_apply(sk: SkinnerParams, ps, poses, trans, batch_inds=None, tps=None):

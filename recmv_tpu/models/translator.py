@@ -61,10 +61,16 @@ def translator_offset(params, static: TranslatorStatic, ps, cond, ratio=None):
         x = emb(ps, annealing_weights(emb.multires, r))
     x = jnp.concatenate([x, cond], axis=-1)
     n_layers = len(static.dims)
+    # hidden layers run bf16-operand matmuls with f32 accumulation and
+    # bf16 activation storage: the offset field is mm-scale (bf16 hidden
+    # quantization ⇒ ~µm offset noise) while the 131k-point activation
+    # tensors dominate the training step's HBM traffic (see
+    # mlp.linear_apply). The final 512→3 layer accumulates and returns
+    # f32.
     for l in range(n_layers - 1):
-        x = linear_apply(params[f"lin{l}"], x)
+        x = linear_apply(params[f"lin{l}"], x, compute_dtype=jnp.bfloat16)
         if l < n_layers - 2:
-            x = jax.nn.relu(x)
+            x = jax.nn.relu(x).astype(jnp.bfloat16)
     return x
 
 

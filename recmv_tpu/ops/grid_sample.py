@@ -80,6 +80,56 @@ def grid_sample_3d(vol: jnp.ndarray, pts: jnp.ndarray, align_corners: bool = Fal
     return out.T  # (N, C)
 
 
+def grid_sample_3d_cl(vol: jnp.ndarray, pts: jnp.ndarray,
+                      align_corners: bool = False) -> jnp.ndarray:
+    """Channel-LAST trilinear sampler: vol (D, H, W, C), pts (N, 3) in
+    [-1, 1] ordered (x, y, z). Returns (N, C); zero padding outside.
+
+    Same math as :func:`grid_sample_3d`, different gather layout: each
+    corner read pulls one contiguous C-row per point instead of C
+    strided single elements. With the 24-channel LBS weight field the
+    channel-first gather touches 24 separate 512-byte HBM tiles per
+    corner (~13 GB per 131k-point pass, the dominant skinner cost on
+    TPU); channel-last makes it one row per corner (~25x less traffic).
+    """
+    D, H, W, C = vol.shape
+    x = _unnormalize(pts[:, 0], W, align_corners)
+    y = _unnormalize(pts[:, 1], H, align_corners)
+    z = _unnormalize(pts[:, 2], D, align_corners)
+
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    x1, y1, z1 = x0 + 1, y0 + 1, z0 + 1
+
+    wx1 = x - x0
+    wy1 = y - y0
+    wz1 = z - z0
+    wx0, wy0, wz0 = 1.0 - wx1, 1.0 - wy1, 1.0 - wz1
+
+    def gather(zc, yc, xc):
+        valid = (
+            (xc >= 0) & (xc < W) & (yc >= 0) & (yc < H) & (zc >= 0) & (zc < D)
+        )
+        xs = jnp.clip(xc, 0, W - 1)
+        ys = jnp.clip(yc, 0, H - 1)
+        zs = jnp.clip(zc, 0, D - 1)
+        vals = vol[zs, ys, xs]  # (N, C) — contiguous C-rows
+        return jnp.where(valid[:, None], vals, 0.0)
+
+    out = (
+        gather(z0, y0, x0) * (wz0 * wy0 * wx0)[:, None]
+        + gather(z0, y0, x1) * (wz0 * wy0 * wx1)[:, None]
+        + gather(z0, y1, x0) * (wz0 * wy1 * wx0)[:, None]
+        + gather(z0, y1, x1) * (wz0 * wy1 * wx1)[:, None]
+        + gather(z1, y0, x0) * (wz1 * wy0 * wx0)[:, None]
+        + gather(z1, y0, x1) * (wz1 * wy0 * wx1)[:, None]
+        + gather(z1, y1, x0) * (wz1 * wy1 * wx0)[:, None]
+        + gather(z1, y1, x1) * (wz1 * wy1 * wx1)[:, None]
+    )
+    return out
+
+
 def grid_sample_2d(img: jnp.ndarray, pts: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
     """Bilinear sample an image at normalized locations.
 

@@ -250,7 +250,7 @@ def _pallas_tile_pixels(Ht, Wt, tile):
 
 
 def _composite_points_pallas(pts, radius, features, image_size, tile, cap,
-                             interpret=False):
+                             interpret=False, features_const=False):
     """Pallas backend of composite_points: XLA prologue (one fused
     tile+z sort → dense per-tile candidate lists, ``_bin_sorted``) + the
     sequential compositing kernel (ops/pallas_composite.py)."""
@@ -290,7 +290,7 @@ def _composite_points_pallas(pts, radius, features, image_size, tile, cap,
     px, py = _pallas_tile_pixels(Ht, Wt, tile)
     out = composite_tiles(cx, cy, va, ft, px, py,
                           ndc_scale ** 2 / (radius * radius), cnt,
-                          interpret)                          # (T, C, 8, 128)
+                          interpret, not features_const)      # (T, C, 8, 128)
     out = out.reshape(Ht, Wt, C, tile, tile)
     out = jnp.moveaxis(out, 2, 4)                             # (Ht,Wt,ty,tx,C)
     out = jnp.moveaxis(out, 1, 2).reshape(Ht * tile, Wt * tile, C)
@@ -298,11 +298,12 @@ def _composite_points_pallas(pts, radius, features, image_size, tile, cap,
 
 
 @partial(jax.jit, static_argnames=("image_size", "tile", "sub", "cap",
-                                   "sub_cap", "backend"))
+                                   "sub_cap", "backend", "features_const"))
 def composite_points(pts: jnp.ndarray, radius: float, features: jnp.ndarray,
                      image_size, tile: int = 32, sub: int = 8,
                      cap: int = 768, sub_cap: int = 128,
-                     backend: str | None = None) -> jnp.ndarray:
+                     backend: str | None = None,
+                     features_const: bool = False) -> jnp.ndarray:
     """Fused point rasterization + alpha compositing → (H, W, C).
 
     Same semantics as ``alpha_composite(rasterize_points(...))`` with
@@ -333,9 +334,14 @@ def composite_points(pts: jnp.ndarray, radius: float, features: jnp.ndarray,
                                 and tile == 32)
                    else "xla")
     if backend in ("pallas", "pallas_interpret"):
+        # features_const: the caller promises no gradient is needed wrt
+        # features (constant section one-hots) — the backward kernel
+        # then skips its per-candidate feature-gradient sums (~1/3 of
+        # the reverse sweep's inner work)
         return _composite_points_pallas(pts, radius, features, image_size,
                                         tile, cap,
-                                        interpret=backend == "pallas_interpret")
+                                        interpret=backend == "pallas_interpret",
+                                        features_const=features_const)
     H, W = image_size
     P, C = features.shape
     ndc_scale = 2.0 / min(H, W)

@@ -203,6 +203,23 @@ def main(argv=None):
 
     # effective amortized step incl. remesh every remesh_intersect steps
     amortized = sec_per_step + remesh_warm_s / cfg.remesh_intersect
+
+    # honest MFU of the production step: XLA cost-analysis FLOPs of the
+    # live step executable(s) over the measured warm wall (v5e bf16 peak)
+    mfu = None
+    costs = net.step_cost_analysis()
+    if costs and costs.get("flops"):
+        tflops = costs["flops"] / sec_per_step / 1e12
+        mfu = {
+            "step_gflops": round(costs["flops"] / 1e9, 1),
+            "achieved_tflops_per_s": round(tflops, 2),
+            "mfu_pct_vs_bf16_peak": round(100.0 * tflops / 197.0, 2),
+        }
+        if costs.get("bytes accessed"):
+            mfu["hbm_gb_per_step"] = round(costs["bytes accessed"] / 2**30, 2)
+            mfu["hbm_util_pct_vs_819gbs"] = round(
+                100.0 * costs["bytes accessed"] / sec_per_step / 819e9, 1)
+
     out = {
         "config": {
             "image": args.image, "sample_pix": args.sample_pix,
@@ -220,6 +237,7 @@ def main(argv=None):
         "phase_means_s": {k: round(float(np.mean(v)), 3)
                           for k, v in phases.items()},
         "rays_per_step": args.sample_pix,
+        "step_cost": mfu,
         "sustained": sustained,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }

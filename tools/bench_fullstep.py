@@ -58,6 +58,10 @@ def main(argv=None):
     ap.add_argument("--init-epochs", type=int, default=40)
     ap.add_argument("--scene", default="/tmp/recmv_bench_scene")
     ap.add_argument("--out", default=osp.join(REPO, "bench_fullstep.json"))
+    ap.add_argument("--trace-dir", default="",
+                    help="capture a jax.profiler trace of the warm steps "
+                         "into this directory (per-op breakdown via "
+                         "tools/trace_report.py)")
     ap.add_argument("--cache-dir", default="/tmp/recmv_jax_cache",
                     help="persistent XLA compilation cache (first_step_s "
                          "reflects cold compiles only on the first ever run)")
@@ -149,6 +153,9 @@ def main(argv=None):
           f"loss={loss:.4f}", flush=True)
 
     warm, phases = [], {}
+    if args.trace_dir:
+        import jax.profiler
+        jax.profiler.start_trace(args.trace_dir)
     for s in range(args.steps):
         import jax.random as jr
 
@@ -161,6 +168,9 @@ def main(argv=None):
             if k.startswith("t_"):
                 phases.setdefault(k, []).append(v)
         print(f"[bench] warm step {s}: {dt:.2f}s", flush=True)
+    if args.trace_dir:
+        jax.profiler.stop_trace()
+        print(f"[bench] trace written to {args.trace_dir}", flush=True)
 
     sec_per_step = float(np.mean(warm))
 

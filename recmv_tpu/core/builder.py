@@ -19,6 +19,7 @@ from ..models.garment_model import init_model
 from ..models.skinner import SkinnerParams, bbox_size, initial_lbs_skinner
 from ..models.smpl import get_smpl
 from ..ops.seg3d import Seg3dConfig
+from .beta_optimizer import smpl_beta_optimizer
 from .network import GarmentOptimNetwork, TrainConfig
 
 
@@ -86,10 +87,17 @@ def build_opt_net(conf, dataset: SceneDataset, save_root: str,
         body_vs = jnp.asarray(data["tmpBodyVs"])
         body_fs = data["tmpBodyFs"]
     else:
+        # Beta pre-fit from TCMR 2D joints before skinner construction
+        # (reference model/network.py:258 → engineer/core/beta_optimizer.py:132).
+        extra_trans = None
+        if dataset.gt_joints2d is not None:
+            betas, extra_trans = smpl_beta_optimizer(model, init_pose, dataset)
+            dataset.params.shape = np.asarray(betas, np.float32).reshape(-1)
         # fite diffused skinning weights if the scene ships them
         fite = osp.join(dataset.root, "diffused_skinning_weights.npy")
         sk, body_vs, body_fs = initial_lbs_skinner(
-            model, jnp.asarray(dataset.params.shape), init_pose, skinner_res)
+            model, jnp.asarray(dataset.params.shape), init_pose, skinner_res,
+            extra_trans=extra_trans)
         if osp.isfile(fite):
             ws = np.load(fite)
             sk = SkinnerParams(ws=jnp.asarray(ws.reshape(ws.shape[-4:])

@@ -52,8 +52,10 @@ def resolution_pyramids(level: str, quality: str = "coarse"):
         "fine": (21, 27, 15),      # → (321, 417, 225)
         "higher": (33, 33, 33),    # → (513, 513, 513) inference option
         "small": (9, 13, 7),
+        "tiny": (7, 9, 5),         # CI smoke: (13, 17, 9)
     }[level]
-    levels = {"coarse": 4, "medium": 4, "fine": 4, "higher": 4, "small": 3}[level]
+    levels = {"coarse": 4, "medium": 4, "fine": 4, "higher": 4, "small": 3,
+              "tiny": 1}[level]
     out = [tuple(base)]
     for _ in range(levels):
         out.append(tuple(2 * r - 1 for r in out[-1]))
@@ -132,14 +134,27 @@ def build_opt_net(conf, dataset: SceneDataset, save_root: str,
     Wg, Hg, Dg = resolutions[-1]
     max_face = max(Wg * Hg, Wg * Dg, Hg * Dg)
     cap_v = 1 << int(np.ceil(np.log2(8 * max_face)))
+    # optional train.caps block: smoke/CI configs size the static buffers
+    # down so the full CLI compiles quickly on CPU
+    def _cap(key, default):
+        return conf.get_int(f"train.caps.{key}", default)
+
     cfg = train_cfg or TrainConfig(
         sample_pix=conf.get_int("train.sample_pix_num", 2048),
         point_radius=conf.get_float("train.coarse.point_render.radius", 0.006),
         remesh_intersect=conf.get_int("train.coarse.point_render.remesh_intersect", 30),
         batch_size=conf.get_int("train.coarse.point_render.batch_size", 3),
         image_size=image_size,
-        mc_capacity_v=cap_v,
-        mc_capacity_f=2 * cap_v,
+        mc_capacity_v=_cap("mc_capacity_v", cap_v),
+        mc_capacity_f=_cap("mc_capacity_f", 2 * cap_v),
+        raster_tile=_cap("raster_tile", 32),
+        raster_cap_mesh=_cap("raster_cap_mesh", 512),
+        raster_cap_points=_cap("raster_cap_points", 768),
+        points_per_pixel=_cap("points_per_pixel", 24),
+        solver_times=_cap("solver_times", 20),
+        surface_sample=_cap("surface_sample", 4096),
+        zbuf_downscale=_cap("zbuf_downscale", 4),
+        seed_downscale=_cap("seed_downscale", 2),
     )
 
     loss_conf = conf.get_config("loss_coarse") if "loss_coarse" in conf else conf

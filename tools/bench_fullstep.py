@@ -156,21 +156,24 @@ def main(argv=None):
     if args.trace_dir:
         import jax.profiler
         jax.profiler.start_trace(args.trace_dir)
-    for s in range(args.steps):
-        import jax.random as jr
+    try:
+        for s in range(args.steps):
+            import jax.random as jr
 
-        key, sub = jr.split(key)
-        t0 = time.time()
-        loss, info = net.train_step(batch, fids, ratio, sub)
-        dt = time.time() - t0
-        warm.append(dt)
-        for k, v in info.items():
-            if k.startswith("t_"):
-                phases.setdefault(k, []).append(v)
-        print(f"[bench] warm step {s}: {dt:.2f}s", flush=True)
-    if args.trace_dir:
-        jax.profiler.stop_trace()
-        print(f"[bench] trace written to {args.trace_dir}", flush=True)
+            key, sub = jr.split(key)
+            t0 = time.time()
+            loss, info = net.train_step(batch, fids, ratio, sub)
+            dt = time.time() - t0
+            warm.append(dt)
+            for k, v in info.items():
+                if k.startswith("t_"):
+                    phases.setdefault(k, []).append(v)
+            print(f"[bench] warm step {s}: {dt:.2f}s", flush=True)
+    finally:
+        # keep the partial capture if a warm step raises mid-trace
+        if args.trace_dir:
+            jax.profiler.stop_trace()
+            print(f"[bench] trace written to {args.trace_dir}", flush=True)
 
     sec_per_step = float(np.mean(warm))
 

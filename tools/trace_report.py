@@ -44,19 +44,29 @@ def main(argv=None):
     paths = find_xplanes(args.trace_dir)
     # plugin 2.13 names xplane-based tools with a '^' suffix; older/newer
     # accept the bare name — try both.
+    # only fall back to tensorflow_stats when the user asked for the
+    # default tool; a explicitly requested tool must not silently yield a
+    # different tool's table
+    candidates = [args.tool, args.tool + "^"]
+    if args.tool == "framework_op_stats":
+        candidates += ["tensorflow_stats", "tensorflow_stats^"]
     data = None
+    used_tool = None
     last_err = None
-    for tool in (args.tool, args.tool + "^",
-                 "tensorflow_stats", "tensorflow_stats^"):
+    for tool in candidates:
         try:
             out = raw_to_tool_data.xspace_to_tool_data(paths, tool, {})
-            data = out[0] if isinstance(out, tuple) else out
-            if data:
+            got = out[0] if isinstance(out, tuple) else out
+            if got:  # empty output counts as failure
+                data, used_tool = got, tool
                 break
         except Exception as e:  # noqa: BLE001 — tool probing
             last_err = e
-    if data is None:
-        sys.exit(f"converter failed: {last_err}")
+    if not data:
+        sys.exit(f"converter produced no data for {candidates}: {last_err}")
+    if used_tool.rstrip("^") != args.tool:
+        print(f"[trace_report] note: '{args.tool}' failed; showing "
+              f"'{used_tool}' instead", file=sys.stderr)
 
     if isinstance(data, bytes):
         data = data.decode("utf-8", "replace")
@@ -88,8 +98,10 @@ def main(argv=None):
             want = list(range(min(8, len(cols))))
         print(" | ".join(cols[i] for i in want))
         for r in rows[: args.top]:
-            cells = [str(r["c"][i].get("v", "") if r["c"][i] else "")
-                     for i in want]
+            # gviz rows may omit trailing cells
+            cs = r.get("c", [])
+            cells = [str(cs[i].get("v", "")
+                         if i < len(cs) and cs[i] else "") for i in want]
             print(" | ".join(cells))
         print("-" * 72)
 

@@ -29,7 +29,7 @@ def parse_args(argv=None):
     p.add_argument("--a-pose", action="store_true", default=True)
     p.add_argument("--no-a-pose", dest="a_pose", action="store_false")
     p.add_argument("--quality", default="coarse",
-                   choices=["small", "coarse", "medium", "fine", "higher"],
+                   choices=["tiny", "small", "coarse", "medium", "fine", "higher"],
                    help="marching-cube pyramid size")
     p.add_argument("--init-epochs", type=int, default=None,
                    help="override SDF init epochs (reference initial_iters)")
@@ -40,6 +40,11 @@ def parse_args(argv=None):
                    help="write debug overlays (projected curves, mask "
                         "comparisons, mesh turntables) at remesh cadence "
                         "(reference save_debug/visualize_curve_mesh)")
+    p.add_argument("--wandb", action="store_true",
+                   help="log scalars/images to wandb in addition to the "
+                        "always-on local JSONL/PNG backend")
+    p.add_argument("--no-vis", action="store_true",
+                   help="disable the step-level visualizer entirely")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a JAX platform (the axon plugin ignores "
                         "JAX_PLATFORMS, so use this flag)")
@@ -99,9 +104,10 @@ def main(argv=None):
           f"{dataset.W}x{dataset.H}, garments {TEMPLATE_GARMENT[garment_type]}")
 
     resolutions = resolution_pyramids(args.quality)
+    skinner_res = {"tiny": (17, 25, 9), "small": (65, 113, 33)}.get(
+        args.quality, (129, 225, 65))
     net = build_opt_net(conf, dataset, save_root, resolutions=resolutions,
-                        skinner_res=(65, 113, 33) if args.quality == "small" else (129, 225, 65),
-                        seed=args.seed)
+                        skinner_res=skinner_res, seed=args.seed)
 
     start_epoch = 0
     ckpt_latest = osp.join(save_root, "latest.ckpt")
@@ -128,6 +134,18 @@ def main(argv=None):
     nepochs = conf.get_int("train.nepoch")
     milestones = conf.get_list("train.scheduler.milestones", [])
     factor = conf.get_float("train.scheduler.factor", 0.333)
+
+    # step-level observability (reference draw_loss / wandb_visualizer):
+    # scalars per step into <save_root>/logs/scalars.jsonl (+wandb with
+    # --wandb); curve/mesh turntable images at remesh cadence
+    visualizer = None
+    if not args.no_vis:
+        from recmv_tpu.utils.visualizer import get_visualizer
+
+        visualizer = get_visualizer(
+            osp.join(save_root, "logs"), project="recmv_tpu",
+            name=f"{garment_type}_{osp.basename(osp.normpath(args.data_root))}",
+            use_wandb=args.wandb)
 
     ratio = {"sdfRatio": 1.0, "deformerRatio": 0.5, "renderRatio": 1.0}
     import jax.random as jrandom
@@ -173,12 +191,27 @@ def main(argv=None):
             t0 = time.time()
             loss, info = net.train_step(batch, fids, ratio, sub)
             steps += 1
-            if args.save_debug and info.get("t_remesh", 0.0) > 0.5:
+            if visualizer is not None:
+                scalars = {k: v for k, v in info.items()
+                           if isinstance(v, (int, float))}
+                scalars["loss"] = float(loss)
+                scalars["lr_scale"] = lr_scale
+                visualizer.add_scalars(scalars, steps)
+            remeshed = info.get("t_remesh", 0.0) > 0.5
+            if args.save_debug and remeshed:
                 from recmv_tpu.utils.debug_vis import save_debug, turntable_curve_mesh
 
                 dbg = osp.join(save_root, "debug")
-                save_debug(net, batch, fids, ratio, dbg, step=steps)
-                turntable_curve_mesh(net, ratio, dbg, step=steps)
+                save_debug(net, batch, fids, ratio, dbg, step=steps,
+                           visualizer=visualizer)
+                turntable_curve_mesh(net, ratio, dbg, step=steps,
+                                     visualizer=visualizer)
+            elif visualizer is not None and remeshed and steps > 1:
+                from recmv_tpu.utils.debug_vis import turntable_curve_mesh
+
+                turntable_curve_mesh(net, ratio, osp.join(save_root, "logs"),
+                                     step=steps, visualizer=visualizer,
+                                     save_meshes=False)
             msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(info.items())
                            if isinstance(v, float))
             print(f"[{garment_type}] ep{epoch} step{steps} loss={loss:.5f} "

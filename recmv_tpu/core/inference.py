@@ -315,7 +315,7 @@ class GarmentInference:
             V = pts.shape[0]
             offs = []
             for start in range(0, F, chunk):
-                fids = jnp.arange(start, min(start + chunk, F))
+                fids = jnp.arange(start, min(start + chunk, F)) + net.dataset.start_idx
                 conds = split_deform_conds(scene["conds"]["deformer"][fids],
                                            net.statics.garment_size)
                 cond = conds[gi + 1]                       # (n, C)
@@ -346,7 +346,8 @@ class GarmentInference:
         net = self.net
         scene = net.scene_tree()
         r = net._ratio_dict(ratio)
-        fids = jnp.asarray(np.asarray(frame_ids), jnp.int32)
+        # frame_ids are local dataset indices; scene arrays are global
+        fids = jnp.asarray(np.asarray(frame_ids) + net.dataset.start_idx, jnp.int32)
         conds = split_deform_conds(scene["conds"]["deformer"][fids],
                                    net.statics.garment_size)
         d_cond = cond if cond is not None else conds[gi + 1]
@@ -454,7 +455,7 @@ class GarmentInference:
         seeds = jnp.asarray(np.asarray(seeds)[rows, cols_px])
         origin = cam_mod.cam_pos(cam)
 
-        fids = jnp.asarray([fid], jnp.int32)
+        fids = jnp.asarray([fid + net.dataset.start_idx], jnp.int32)
         conds = split_deform_conds(scene["conds"]["deformer"][fids],
                                    net.statics.garment_size)
         fn = self._color_chunk_fn(chunk)
@@ -528,7 +529,8 @@ class GarmentInference:
                 # substitute outlier frames' deformer latents with the
                 # last stable frame's (offset_filter consumption,
                 # OptimGarmentNetwork.py:2777)
-                cond_ids = np.asarray(self.filter_list[gname])[fids_np]
+                cond_ids = (np.asarray(self.filter_list[gname])[fids_np]
+                            + net.dataset.start_idx)
                 conds_f = split_deform_conds(
                     scene["conds"]["deformer"][jnp.asarray(cond_ids)],
                     net.statics.garment_size)
@@ -540,7 +542,8 @@ class GarmentInference:
             # def1: translator offsets only, no skeletal transform
             if images:
                 conds = split_deform_conds(
-                    scene["conds"]["deformer"][jnp.asarray(fids_np)],
+                    scene["conds"]["deformer"][jnp.asarray(
+                        fids_np + net.dataset.start_idx)],
                     net.statics.garment_size)
                 pts = jnp.asarray(rv)
                 pb = jnp.broadcast_to(pts, (N,) + pts.shape)
@@ -600,7 +603,7 @@ class GarmentInference:
                     pass
 
         # posed body (LBS only)
-        fids = jnp.asarray(fids_np, jnp.int32)
+        fids = jnp.asarray(fids_np + net.dataset.start_idx, jnp.int32)
         body = skinner_apply(net.params["skinner"],
                              jnp.broadcast_to(net.tmp_body_vs,
                                               (len(fids),) + net.tmp_body_vs.shape),

@@ -1466,7 +1466,8 @@ class GarmentOptimNetwork:
         runs in two waves: (fl, pc, rays) then (main, update)."""
         import threading
 
-        frame_ids = jnp.asarray(np.asarray(frame_ids), jnp.int32)
+        local_fids = np.asarray(frame_ids)
+        frame_ids = jnp.asarray(local_fids + self.dataset.start_idx, jnp.int32)
         r = self._ratio_dict(ratio)
         if self.mesh is None:
             self.marching_cube_update(r)
@@ -1494,8 +1495,7 @@ class GarmentOptimNetwork:
             win_ids = None
             if dct_w > 0 and self.dataset.frame_num > self.dct_null.shape[1]:
                 win_ids = jnp.asarray(
-                    self._window_ids(np.asarray(frame_ids),
-                                     self.dct_null.shape[1]))
+                    self._window_ids(local_fids, self.dct_null.shape[1]))
             gt_pooled = [dev.get(k + "__pooled")
                          for k in self._garment_mask_keys()]
             args = (gparams, self.params.get("curves"), gvs, fs_t,
@@ -1543,7 +1543,7 @@ class GarmentOptimNetwork:
         win_ids = None
         if dct_w > 0 and self.dataset.frame_num > self.dct_null.shape[1]:
             win_ids = jnp.asarray(
-                self._window_ids(np.asarray(frame_ids), self.dct_null.shape[1]))
+                self._window_ids(local_fids, self.dct_null.shape[1]))
         g0 = jax.tree_util.tree_map(jnp.zeros_like, gparams)
         gv0 = tuple(jnp.zeros_like(v) for v in gvs)
         wave2 = [("main", (gparams, self.params["curves"], solved, frame_ids,
@@ -1567,7 +1567,12 @@ class GarmentOptimNetwork:
         """
         import time as _time
 
-        frame_ids = jnp.asarray(np.asarray(frame_ids), jnp.int32)
+        # frame_ids come in as LOCAL dataset indices (0..frame_num);
+        # scene arrays cover the full video, so convert to global indices
+        # here — the distinction only matters when the dataset is a
+        # sub-range (PeopleSnapshot a_pose split, large-pose stage).
+        local_fids = np.asarray(frame_ids)
+        frame_ids = jnp.asarray(local_fids + self.dataset.start_idx, jnp.int32)
         self.info = {}
         r = self._ratio_dict(ratio)
 
@@ -1608,7 +1613,7 @@ class GarmentOptimNetwork:
         win_ids_f = None
         if dct_w_f > 0 and self.dataset.frame_num > self.dct_null.shape[1]:
             win_ids_f = jnp.asarray(
-                self._window_ids(np.asarray(frame_ids), self.dct_null.shape[1]))
+                self._window_ids(local_fids, self.dct_null.shape[1]))
 
         if not self.cfg.profile_phases and self._fused_ok:
             # fused path: ONE executable for the whole step, ONE packed
@@ -1697,7 +1702,7 @@ class GarmentOptimNetwork:
         win_ids = None
         if dct_w > 0 and self.dataset.frame_num > self.dct_null.shape[1]:
             win_ids = jnp.asarray(
-                self._window_ids(np.asarray(frame_ids), self.dct_null.shape[1]))
+                self._window_ids(local_fids, self.dct_null.shape[1]))
         (m_loss, m_info), g_main = fns["main"](
             gparams, self.params["curves"], solved, frame_ids, imgs, normals,
             tuple(self.mesh.garment_vs), counts, win_ids, r, key)
@@ -1876,7 +1881,8 @@ class GarmentOptimNetwork:
         batch = self.dataset.get_batch([i - self.dataset.start_idx for i in sup])
         fl_pts = jnp.asarray(batch["fl_pts"])
         fl_masks = jnp.asarray(batch["fl_masks"])
-        fids = jnp.asarray([i - self.dataset.start_idx for i in sup], jnp.int32)
+        # sup are global video indices — scene arrays are indexed globally
+        fids = jnp.asarray(sup, jnp.int32)
         scene = self.scene_tree()
         cam = self._camera(scene)
         poses = scene["poses"][fids]

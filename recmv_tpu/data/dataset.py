@@ -141,6 +141,7 @@ class SceneDataset:
 
         self._read_data()
         self._load_tcmr()
+        self._adjust_sequences()
         self.params = init_scene_params(
             self.poses, self.trans, self.shape, self.camera_params,
             self.conds_lens, self.frame_num,
@@ -205,10 +206,16 @@ class SceneDataset:
                 data = joblib.load(path)[1]
                 self.gt_joints2d = {fid: j for fid, j in
                                     zip(data["frame_ids"].tolist(), data["gt_joints2d"])}
+                self.tcmr_frame_ids = sorted(data["frame_ids"].tolist())
                 self.tcmr_poses = data["pose"]
                 self.tcmr_betas = data["betas"]
             except Exception:
                 self.gt_joints2d = None
+
+    def _adjust_sequences(self):
+        """Hook for subclasses that rewrite poses/trans/shape from side
+        information before the learnable SceneParams are initialized
+        (LargePoseDataset); no-op for the base dataset."""
 
     def read_feature_lines(self, path):
         """Per-frame JSON paths, carrying the last annotation forward for
@@ -420,9 +427,81 @@ class PeopleSnapshotDataset(SceneDataset):
 
 
 class LargePoseDataset(SceneDataset):
-    """Large-pose stage: trains on the full motion range; depth of the
-    translation frozen past the A-pose range is handled in the loop
-    (dataset.py:681-894)."""
+    """Large-pose stage (reference Large_Pose_SceneDataset,
+    dataset.py:681-894). The videoavatars translation is inconsistent on
+    large motion, so: depth past the A-pose range is frozen and the whole
+    translation OneEuro-smoothed; poses beyond the A-pose range are
+    replaced by TCMR estimates; betas = mean TCMR betas over the A-pose
+    range. ``a_pose=True`` selects the annotated A-pose sub-range (the
+    resume split train_large_pose starts from); ``a_pose=False`` the
+    large-motion remainder. Frames without their own feature-line
+    annotation get fl_masks zeroed (per-frame supervision flags)."""
+
+    def __init__(self, data_root, conds_lens=None, garment_type="", fl_sampling=100,
+                 curve_sampling=1, a_pose=False):
+        self.a_pose = a_pose
+        super().__init__(data_root, conds_lens, garment_type, fl_sampling,
+                         curve_sampling)
+        total = self.frame_num
+        if a_pose:
+            self.start_idx = self.a_pose_start
+            self.frame_num = min(self.a_pose_end - self.a_pose_start + 1, total)
+        else:
+            self.start_idx = self.a_pose_end + 1
+            self.frame_num = total - self.a_pose_end - 1
+        assert self.frame_num > 0, (
+            f"no frames in the {'A-pose' if a_pose else 'large-motion'} "
+            f"range [{self.a_pose_start}, {self.a_pose_end}] of {total}")
+
+    def _adjust_sequences(self):
+        from ..core.inference import one_euro_smooth
+
+        # freeze depth past the annotated range, then OneEuro-smooth the
+        # whole translation track (dataset.py:696-698)
+        self.trans[self.a_pose_end:, -1] = self.trans[self.a_pose_end, -1]
+        self.trans = one_euro_smooth(self.trans, min_cutoff=0.004, beta=0.7,
+                                     d_cutoff=1.0)
+        if self.gt_joints2d is not None:
+            # frame → TCMR record (reference lower_bound over joints_frame_ids)
+            ids = np.asarray(self.tcmr_frame_ids)
+            rec = np.searchsorted(ids, np.arange(len(self.poses)), side="left")
+            rec = np.clip(rec, 0, len(ids) - 1)
+            tp = np.asarray(self.tcmr_poses, np.float32).reshape(-1, 24, 3)[rec]
+            self.poses[self.a_pose_end + 1:] = tp[self.a_pose_end + 1:]
+            arec = rec[self.a_pose_start:self.a_pose_end + 1]
+            self.shape = np.asarray(self.tcmr_betas,
+                                    np.float32)[arec].mean(0).reshape(-1)
+
+    def area_size_statistic(self):
+        """Curve projection weights from SUPERVISED frames only
+        (dataset.py:760-806) — carried-forward annotations would skew the
+        extent statistics on large-motion frames."""
+        sup = self.curve_sampling
+        try:
+            self.curve_sampling = 1
+            keep = self.fl_paths
+            self.fl_paths = [p for p, s in zip(self.fl_paths, self.fl_supervised)
+                             if s]
+            n, self.frame_num = self.frame_num, len(self.fl_paths)
+            super().area_size_statistic()
+        finally:
+            self.curve_sampling = sup
+            self.fl_paths = keep
+            self.frame_num = n
+
+    def __getitem__(self, idx):
+        i, out = super().__getitem__(idx)
+        if not self.fl_supervised[idx + self.start_idx]:
+            out["fl_masks"] = np.zeros_like(out["fl_masks"])
+        return i, out
+
+    def get_init_fl_dataset(self):
+        """Curve-init subset over frames with their own annotation
+        (reference get_init_fl_datasets, dataset.py:750-758)."""
+        idxs = [i for i, s in enumerate(self.fl_supervised) if s]
+        return InitFlDataset(self.root, self.conds_lens, self.garment_type,
+                             self.fl_sampling, self.curve_sampling,
+                             sampler_idx=idxs)
 
 
 class SyntheticDataset(SceneDataset):
@@ -518,7 +597,7 @@ def get_dataset_and_loader(data_root, conds_lens, batch_size, shuffle=True,
                                    fl_sampling, curve_sampling, a_pose=a_pose)
     elif data_type == "large_pose":
         ds = LargePoseDataset(data_root, conds_lens, garment_type,
-                              fl_sampling, curve_sampling)
+                              fl_sampling, curve_sampling, a_pose=a_pose)
     elif data_type == "synthe":
         ds = SyntheticDataset(data_root, conds_lens, garment_type,
                               fl_sampling, curve_sampling)

@@ -69,7 +69,8 @@ def save_debug(net, batch, frame_ids, ratio, out_dir, step: int = 0,
     os.makedirs(out_dir, exist_ok=True)
     r = net._ratio_dict(ratio)
     scene = net.scene_tree()
-    fids = jnp.asarray(np.asarray(frame_ids), jnp.int32)
+    # frame_ids are local dataset indices; scene arrays are global
+    fids = jnp.asarray(np.asarray(frame_ids) + net.dataset.start_idx, jnp.int32)
     cam = net._camera(scene)
     N = int(fids.shape[0])
     W, H = net.statics.image_size

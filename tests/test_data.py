@@ -90,3 +90,116 @@ class TestSceneDataset:
         # the largest curve gets weight 1; smaller curves get boosted
         assert min(ds.fl_weights.values()) == 1.0
         assert all(w >= 1.0 for w in ds.fl_weights.values())
+
+
+@pytest.fixture(scope="module")
+def large_pose_scene(tmp_path_factory):
+    """8-frame scene where only frames 0-3 carry feature-line jsons (the
+    A-pose sub-range), with a TCMR output pkl and a varying translation
+    track — the Large_Pose_SceneDataset preconditions."""
+    joblib = pytest.importorskip("joblib")
+    out = str(tmp_path_factory.mktemp("lp") / "tube")
+    generate_scene(out, n_frames=8, image_size=64, skinner_res=(17, 25, 9))
+    for fid in range(4, 8):
+        os.remove(os.path.join(out, "featurelines", f"{fid}.json"))
+    # translation with depth drift after the A-pose range
+    data = dict(np.load(os.path.join(out, "smpl_rec.npz"), allow_pickle=True))
+    trans = np.zeros((8, 3), np.float32)
+    trans[:, 2] = np.linspace(0.0, 0.7, 8)
+    data["trans"] = trans
+    np.savez(os.path.join(out, "smpl_rec.npz"), **data)
+    # TCMR: distinct poses per frame + betas
+    rng = np.random.RandomState(0)
+    tc_pose = np.tile(np.load(os.path.join(out, "smpl_rec.npz"))["poses"]
+                      .reshape(8, 72), (1, 1)).astype(np.float32)
+    tc_pose += 0.01 * np.arange(8, dtype=np.float32)[:, None]
+    betas = 0.1 * rng.randn(8, 10).astype(np.float32)
+    joints = 32 + 8 * rng.rand(8, 17, 2).astype(np.float32)
+    gt_j = np.concatenate([joints, np.ones((8, 17, 1), np.float32)], -1)
+    joblib.dump({1: {"frame_ids": np.arange(8), "gt_joints2d": gt_j,
+                     "pose": tc_pose, "betas": betas}},
+                os.path.join(out, "synthetic-tube_tcmr_output.pkl"))
+    return out
+
+
+class TestLargePoseDataset:
+    def test_range_split(self, large_pose_scene):
+        from recmv_tpu.data.dataset import LargePoseDataset
+
+        lp = LargePoseDataset(large_pose_scene, conds_lens={},
+                              garment_type="synthetic-tube", a_pose=False)
+        assert (lp.a_pose_start, lp.a_pose_end) == (0, 3)
+        assert lp.start_idx == 4 and lp.frame_num == 4
+        ap = LargePoseDataset(large_pose_scene, conds_lens={},
+                              garment_type="synthetic-tube", a_pose=True)
+        assert ap.start_idx == 0 and ap.frame_num == 4
+
+    def test_translation_frozen_and_smoothed(self, large_pose_scene):
+        from recmv_tpu.data.dataset import LargePoseDataset
+
+        from recmv_tpu.core.inference import one_euro_smooth
+
+        lp = LargePoseDataset(large_pose_scene, conds_lens={},
+                              garment_type="synthetic-tube", a_pose=False)
+        # exact semantics: depth frozen at the a_pose_end value past the
+        # annotated range, then the whole track OneEuro-smoothed
+        raw = np.zeros((8, 3), np.float32)
+        raw[:, 2] = np.linspace(0.0, 0.7, 8)
+        raw[lp.a_pose_end:, 2] = raw[lp.a_pose_end, 2]
+        expect = one_euro_smooth(raw, min_cutoff=0.004, beta=0.7, d_cutoff=1.0)
+        np.testing.assert_allclose(lp.params.trans, expect, atol=1e-6)
+        # and the raw 0.7 depth drift is gone
+        assert lp.params.trans[-1, 2] < 0.35
+
+    def test_tcmr_poses_and_betas(self, large_pose_scene):
+        from recmv_tpu.data.dataset import LargePoseDataset
+
+        lp = LargePoseDataset(large_pose_scene, conds_lens={},
+                              garment_type="synthetic-tube", a_pose=False)
+        raw = np.load(os.path.join(large_pose_scene, "smpl_rec.npz"))
+        import joblib
+
+        tc = joblib.load(os.path.join(large_pose_scene,
+                                      "synthetic-tube_tcmr_output.pkl"))[1]
+        # poses beyond the A-pose range come from TCMR, not videoavatars
+        np.testing.assert_allclose(
+            lp.params.poses[4:], tc["pose"][4:].reshape(4, 24, 3), atol=1e-6)
+        np.testing.assert_allclose(
+            lp.params.poses[:4], raw["poses"][:4].reshape(4, 24, 3), atol=1e-6)
+        # betas = mean TCMR betas over the A-pose range
+        np.testing.assert_allclose(lp.params.shape,
+                                   tc["betas"][:4].mean(0), atol=1e-6)
+
+    def test_supervision_flags(self, large_pose_scene):
+        from recmv_tpu.data.dataset import LargePoseDataset
+
+        lp = LargePoseDataset(large_pose_scene, conds_lens={},
+                              garment_type="synthetic-tube", a_pose=False)
+        assert lp.fl_supervised[:4] == [True] * 4
+        assert lp.fl_supervised[4:] == [False] * 4
+        # large-motion frames: carried-forward annotations are NOT
+        # supervision — fl_masks must come back all-False
+        _, out = lp[0]   # frame 4
+        assert not out["fl_masks"].any()
+        ap = LargePoseDataset(large_pose_scene, conds_lens={},
+                              garment_type="synthetic-tube", a_pose=True)
+        _, out = ap[0]   # frame 0 has its own annotation
+        assert out["fl_masks"].any()
+
+    def test_init_fl_dataset(self, large_pose_scene):
+        from recmv_tpu.data.dataset import LargePoseDataset
+
+        lp = LargePoseDataset(large_pose_scene, conds_lens={},
+                              garment_type="synthetic-tube", a_pose=False)
+        init = lp.get_init_fl_dataset()
+        assert len(init) == 4
+        _, out = init[0]
+        assert out["fl_masks"].any()
+
+    def test_area_statistic_supervised_only(self, large_pose_scene):
+        from recmv_tpu.data.dataset import LargePoseDataset
+
+        lp = LargePoseDataset(large_pose_scene, conds_lens={},
+                              garment_type="synthetic-tube", a_pose=False)
+        assert all(w >= 1.0 for w in lp.fl_weights.values())
+        assert min(lp.fl_weights.values()) == 1.0

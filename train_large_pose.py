@@ -22,7 +22,7 @@ def main(argv=None):
     p.add_argument("--resume", default=None,
                    help="defaults to <save>/latest.ckpt (the a-pose fit)")
     p.add_argument("--quality", default="coarse",
-                   choices=["small", "coarse", "medium", "fine", "higher"])
+                   choices=["tiny", "small", "coarse", "medium", "fine", "higher"])
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--start-epoch", type=int, default=60)
     p.add_argument("--seed", type=int, default=0)
@@ -57,9 +57,11 @@ def main(argv=None):
         data_type=conf.get_string("train.data_type", "large_pose"),
         a_pose=False, seed=args.seed)
 
+    skinner_res = {"tiny": (17, 25, 9), "small": (65, 113, 33)}.get(
+        args.quality, (129, 225, 65))
     net = build_opt_net(conf, dataset, save_root,
                         resolutions=resolution_pyramids(args.quality),
-                        seed=args.seed)
+                        skinner_res=skinner_res, seed=args.seed)
     net.large_pose = True
     net._init_global_opt()  # re-derive trainable mask with SDFs frozen
 

@@ -97,3 +97,66 @@ class TestRemesh:
         assert el2.max() < el0.max()  # long edges split
         # geometry preserved: vertices stay near the sphere
         np.testing.assert_allclose(np.linalg.norm(v2, axis=1), 0.6, atol=0.05)
+
+    def test_collapse_flip_reduce_anisotropy(self, lib):
+        """On an MC sphere (MC triangles are notoriously anisotropic) the
+        full split+collapse+flip+project pipeline must reduce the
+        edge-length coefficient of variation, keep the surface closed,
+        and coarsen where the target length exceeds the median."""
+        vol, origin, spacing = sphere_vol(25)
+        v, f = marching_cubes_np(vol, 0.0, origin, spacing)
+
+        def edge_stats(v, f):
+            e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+            el = np.linalg.norm(v[e[:, 0]] - v[e[:, 1]], axis=1)
+            return el
+
+        el0 = edge_stats(v, f)
+        cv0 = el0.std() / el0.mean()
+        # target ≈ median: both split and collapse must fire
+        target = float(np.median(el0))
+        v2, f2 = lib.isotropic_remesh(v, f, target, iters=5)
+        el2 = edge_stats(v2, f2)
+        cv2 = el2.std() / el2.mean()
+        assert cv2 < 0.6 * cv0, (cv0, cv2)
+        # closed surface stays closed (every edge shared by exactly 2 faces)
+        e = np.sort(np.concatenate([f2[:, [0, 1]], f2[:, [1, 2]], f2[:, [2, 0]]]), 1)
+        _, counts = np.unique(e, axis=0, return_counts=True)
+        assert (counts == 2).all()
+        # projection keeps vertices on the sphere
+        np.testing.assert_allclose(np.linalg.norm(v2, axis=1), 0.6, atol=0.05)
+
+    def test_coarsen_dense_mesh(self, lib):
+        """A target length well above the input median must REDUCE vertex
+        count (collapse actually fires) — the r3 split-only remesher could
+        only refine."""
+        vol, origin, spacing = sphere_vol(33)
+        v, f = marching_cubes_np(vol, 0.0, origin, spacing)
+        el = np.linalg.norm(v[f[:, 0]] - v[f[:, 1]], axis=1)
+        target = float(np.median(el)) * 2.5
+        v2, f2 = lib.isotropic_remesh(v, f, target, iters=5)
+        assert len(v2) < 0.6 * len(v), (len(v), len(v2))
+        np.testing.assert_allclose(np.linalg.norm(v2, axis=1), 0.6, atol=0.06)
+
+    def test_boundary_preserved(self, lib):
+        """Open meshes: boundary vertices are pinned exactly."""
+        # a flat strip of triangles, anisotropic on purpose
+        nx, ny = 24, 4
+        xs, ys = np.meshgrid(np.linspace(0, 3.0, nx), np.linspace(0, 0.3, ny),
+                             indexing="ij")
+        v = np.stack([xs, ys, np.zeros_like(xs)], -1).reshape(-1, 3)
+        faces = []
+        for i in range(nx - 1):
+            for j in range(ny - 1):
+                a = i * ny + j
+                faces += [[a, a + ny, a + 1], [a + 1, a + ny, a + ny + 1]]
+        f = np.asarray(faces, np.int64)
+        v2, f2 = lib.isotropic_remesh(np.asarray(v, np.float32), f, 0.1, iters=4)
+        # all original boundary verts must still be present, unchanged
+        e = np.sort(np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), 1)
+        uniq, counts = np.unique(e, axis=0, return_counts=True)
+        bidx = np.unique(uniq[counts == 1])
+        for b in v[bidx]:
+            assert np.min(np.linalg.norm(v2 - b, axis=1)) < 1e-6
+        # interior stays planar
+        assert np.abs(v2[:, 2]).max() < 1e-5

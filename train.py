@@ -124,7 +124,15 @@ def main(argv=None):
             init_iters = abs(conf.get_int("train.initial_iters", -1200))
         print(f"[train] one-time initialization ({init_iters} IGR epochs)...")
         t0 = time.time()
-        net.initialize_tmp_sdf(nepochs=init_iters, save_dir=save_root)
+        # DeepFashion3D-registered template assets (reference
+        # smpl_clothes_template layout) when the scene ships them;
+        # procedural body-slice templates otherwise
+        template_dir = conf.get_string("train.template_dir", "")
+        if not template_dir:
+            cand = osp.join(args.data_root, "smpl_clothes_template")
+            template_dir = cand if osp.isdir(cand) else None
+        net.initialize_tmp_sdf(nepochs=init_iters, save_dir=save_root,
+                               template_dir=template_dir)
         print(f"[train] initialization done in {time.time()-t0:.1f}s")
 
     if net.curve_statics is None:

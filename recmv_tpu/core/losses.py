@@ -94,21 +94,49 @@ def def_consistency_loss(deformed_pts, lbs_only_pts, c: float) -> jnp.ndarray:
     return jnp.mean(jnp.sqrt(off2 + 1e-12))
 
 
+def sym3x3_eigvalsh(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form eigenvalues of a batch of symmetric 3x3 matrices
+    (trigonometric/Cardano form), ascending — a drop-in for
+    jnp.linalg.eigvalsh on (..., 3, 3). XLA lowers eigvalsh to a Jacobi
+    eigh custom-call that cost ~25 ms/step on the main-branch def_regu
+    batch (r4 trace, jvp(eigvalsh) on ~12k matrices); the analytic form
+    is a handful of fused elementwise ops. Inputs MUST have distinct
+    eigenvalues for a stable gradient (callers jitter the diagonal)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.clip(p2 / 6.0, 1e-30, None))
+    # r = det((A - qI)/p) / 2, expanded to avoid 3x3 det of a quotient
+    detb = (b00 * (b11 * b22 - a12 * a12)
+            - a01 * (a01 * b22 - a12 * a02)
+            + a02 * (a01 * a12 - b11 * a02))
+    r = jnp.clip(detb / (2.0 * p * p * p), -1.0 + 1e-7, 1.0 - 1e-7)
+    phi = jnp.arccos(r) / 3.0
+    e_hi = q + 2.0 * p * jnp.cos(phi)
+    e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_hi - e_lo
+    return jnp.stack([e_lo, e_mid, e_hi], axis=-1)
+
+
 def def_regularization_loss(jacobians: jnp.ndarray, c: float, valid=None) -> jnp.ndarray:
     """Deformation rigidity prior (surface_render_loss def_regu,
     OptimGarmentNetwork.py:1135-1154): GM-robust of Σ log²(σᵢ) over the
     offset-field Jacobian's singular values. The reference shipped the SVD
     to CPU ("for pytorch, the gpu svd is too slow"); we instead use
     log-singular-value energy via the identity Σ log²σ on symmetrized
-    eigenvalues of JᵀJ: eigvalsh of a 3x3 batch is cheap on TPU and
-    avoids full SVD."""
+    eigenvalues of JᵀJ: a closed-form 3x3 eigensolve is a few fused
+    elementwise ops on TPU and avoids full SVD."""
     JtJ = jnp.einsum("mji,mjk->mik", jacobians, jacobians)
-    # symmetric eigenvalues = σᵢ²; eigvalsh's gradient is NaN at repeated
-    # eigenvalues — and JᵀJ ≈ I exactly at the near-identity init — so add
-    # a tiny *distinct* diagonal jitter to separate them (≤1e-6 relative)
+    # symmetric eigenvalues = σᵢ²; the eigenvalue gradient is unstable at
+    # repeated eigenvalues — and JᵀJ ≈ I exactly at the near-identity init
+    # — so add a tiny *distinct* diagonal jitter to separate them
+    # (≤1e-6 relative)
     scale = jnp.trace(JtJ, axis1=-2, axis2=-1)[..., None, None] / 3.0 + 1e-12
     jitter = jnp.diag(jnp.asarray([1.0, 2.0, 3.0])) * 1e-6
-    eig = jnp.linalg.eigvalsh(JtJ + jitter * scale)
+    eig = sym3x3_eigvalsh(JtJ + jitter * scale)
     logs = 0.5 * jnp.log(jnp.clip(eig, 1e-12, None))
     energy = jnp.sum(logs * logs, -1)
     vals = gm_robust_error(energy, c, True)

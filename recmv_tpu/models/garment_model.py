@@ -109,9 +109,15 @@ def split_deform_conds(cond: jnp.ndarray, garment_size: int):
 
 
 def make_deform_fn(params, statics: ModelStatics, d_cond, poses, trans, ratio,
-                   batch_inds=None):
+                   batch_inds=None, with_lbs_only=False):
     """Closure: canonical (M,3)/(B,N,3) → posed points, for one garment's
-    cond slice. d_cond (N, condlen) per-frame latents."""
+    cond slice. d_cond (N, condlen) per-frame latents.
+
+    with_lbs_only=True: deform(pts) returns (posed, lbs_only) where
+    lbs_only poses the UN-offset pts with the same blended transforms —
+    the def-consistency pair (OptimGarmentNetwork.py:651-664) at the
+    cost of ONE weight-field sampling instead of two (see
+    skinner_apply's also_apply note on the tps approximation)."""
 
     def deform(pts):
         if batch_inds is not None:
@@ -119,12 +125,14 @@ def make_deform_fn(params, statics: ModelStatics, d_cond, poses, trans, ratio,
             off_pts, _ = translator_apply(params["translator"], statics.translator,
                                           pts, cond_pp, ratio)
             return skinner_apply(params["skinner"], off_pts, poses, trans,
-                                 batch_inds=batch_inds)
+                                 batch_inds=batch_inds,
+                                 also_apply=pts if with_lbs_only else None)
         B, Np, _ = pts.shape
         cond_b = jnp.broadcast_to(d_cond[:, None, :], (B, Np, d_cond.shape[-1]))
         off_pts, _ = translator_apply(params["translator"], statics.translator,
                                       pts, cond_b, ratio)
-        return skinner_apply(params["skinner"], off_pts, poses, trans)
+        return skinner_apply(params["skinner"], off_pts, poses, trans,
+                             also_apply=pts if with_lbs_only else None)
 
     return deform
 

@@ -119,7 +119,8 @@ def sample_skin_weights(sk: SkinnerParams, tps: jnp.ndarray) -> jnp.ndarray:
     return grid_sample_3d_cl(vol_cl, nps, align_corners=False)
 
 
-def skinner_apply(sk: SkinnerParams, ps, poses, trans, batch_inds=None, tps=None):
+def skinner_apply(sk: SkinnerParams, ps, poses, trans, batch_inds=None, tps=None,
+                  also_apply=None):
     """Apply LBS.
 
     ps: (B,N,3) canonical points (post-offset), or (M,3) with
@@ -128,6 +129,19 @@ def skinner_apply(sk: SkinnerParams, ps, poses, trans, batch_inds=None, tps=None
     weight volume (defaults to ps — matching CompositeDeformer, which
     passes the offset points straight through).
     Returns posed points, same leading shape as ps.
+
+    also_apply: optional second point set (same shape as ps) posed with
+    the SAME blended transforms (weights sampled at ``tps``/``ps``, not
+    at ``also_apply``) — returns (posed_ps, posed_also). Used by the
+    def-consistency loss to get an LBS-only posing of the un-offset
+    verts without a second full-capacity weight-field sampling (the
+    8-corner gather over the voxel field is the dominant deformer cost
+    on TPU, ~45 ms/step at the fine caps — r4 trace). The weights are
+    sampled at the offset points rather than the raw verts (the
+    reference's second pass samples at the raw verts,
+    OptimGarmentNetwork.py:651-664); offsets are cm-scale against a
+    smoothed voxel field, so the difference is far below the loss's
+    GM-robust scale c.
     """
     if tps is None:
         tps = ps
@@ -139,15 +153,27 @@ def skinner_apply(sk: SkinnerParams, ps, poses, trans, batch_inds=None, tps=None
         B, N, _ = ps.shape
         ws = ws.reshape(B, N, 24)
         T = jnp.einsum("bnj,bjxy->bnxy", ws, A, precision=jax.lax.Precision.HIGHEST)
-        ph = jnp.concatenate([ps, jnp.ones(ps.shape[:-1] + (1,))], axis=-1)
-        out = jnp.einsum("bnxy,bny->bnx", T, ph, precision=jax.lax.Precision.HIGHEST)[..., :3]
-        return out + trans[:, None, :]
+
+        def pose_pts(q):
+            qh = jnp.concatenate([q, jnp.ones(q.shape[:-1] + (1,))], axis=-1)
+            o = jnp.einsum("bnxy,bny->bnx", T, qh, precision=jax.lax.Precision.HIGHEST)[..., :3]
+            return o + trans[:, None, :]
+
+        if also_apply is not None:
+            return pose_pts(ps), pose_pts(jnp.broadcast_to(also_apply, ps.shape))
+        return pose_pts(ps)
     flat = ps.reshape(-1, 3)
     Ai = A[batch_inds]  # (M,24,4,4)
     T = jnp.einsum("mj,mjxy->mxy", ws, Ai, precision=jax.lax.Precision.HIGHEST)
-    ph = jnp.concatenate([flat, jnp.ones((flat.shape[0], 1))], axis=-1)
-    out = jnp.einsum("mxy,my->mx", T, ph, precision=jax.lax.Precision.HIGHEST)[..., :3]
-    return out + trans[batch_inds]
+
+    def pose_flat(q):
+        qh = jnp.concatenate([q, jnp.ones((q.shape[0], 1))], axis=-1)
+        o = jnp.einsum("mxy,my->mx", T, qh, precision=jax.lax.Precision.HIGHEST)[..., :3]
+        return o + trans[batch_inds]
+
+    if also_apply is not None:
+        return pose_flat(flat), pose_flat(also_apply.reshape(-1, 3))
+    return pose_flat(flat)
 
 
 def posed_skeleton(sk: SkinnerParams, poses: jnp.ndarray, parents=SMPL_PARENTS_STATIC):

@@ -131,6 +131,29 @@ class TestLaplacianDeform:
         r = np.sqrt(mid[:, 0] ** 2 + mid[:, 2] ** 2)
         assert (r > 0.45).all() and (r < 0.78).all()
 
+    def test_cg_path_matches_dense(self, monkeypatch):
+        """The matrix-free CG path (used above DENSE_SOLVE_MAX_N, where
+        the dense LU overflows TPU scoped vmem) solves the same normal
+        equations as the dense path."""
+        from recmv_tpu.geometry import laplacian as lap
+
+        v, f = open_cylinder(24, 12)
+        top = np.arange(len(v) - 24, len(v))
+        bottom = np.arange(24)
+        cid = np.concatenate([top, bottom])
+        ct = np.concatenate([v[top] * [1.3, 1.0, 1.3], v[bottom]])
+        for disp in (False, True):
+            for smooth in (False, True):
+                dense = np.asarray(laplacian_deform(
+                    v, f, cid, ct, constrain_weight=5.0, smooth=smooth,
+                    displacement=disp))
+                monkeypatch.setattr(lap, "DENSE_SOLVE_MAX_N", 1)
+                cgout = np.asarray(laplacian_deform(
+                    v, f, cid, ct, constrain_weight=5.0, smooth=smooth,
+                    displacement=disp))
+                monkeypatch.setattr(lap, "DENSE_SOLVE_MAX_N", 8192)
+                np.testing.assert_allclose(cgout, dense, atol=2e-4)
+
 
 class TestKnnIcp:
     def test_knn_exact(self):

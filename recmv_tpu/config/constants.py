@@ -102,6 +102,7 @@ TEMPLATE_GARMENT = {
     # built-in synthetic fixture scenes (recmv_tpu.data.synthetic)
     "synthetic-tube": ["tube"],
     "synthetic-two": ["upper_tube", "skirt"],   # two-piece, shared waist
+    "synthetic-skirt": ["skirt"],               # loose A-line, diffused skinning
     # people_snapshot_public
     "female-1-casual": ["short_sleeve_upper", "long_pants"],
     "female-3-casual": ["long_sleeve_upper", "long_pants"],
@@ -140,6 +141,7 @@ FL_INFOS = {
     "lingteng_dance": _PS_FL,
     "synthetic-tube": ["neck", "bottom_curve"],
     "synthetic-two": ["neck", "upper_bottom", "bottom_curve"],
+    "synthetic-skirt": ["upper_bottom", "bottom_curve"],
     "female-3-casual": _PS_FL,
     "female-3-sport": _PS_FL,
     "female-4-casual": _PS_FL,

@@ -29,7 +29,7 @@ except ImportError:  # pragma: no cover
 import jax.numpy as jnp
 
 from ..models import camera as cam_mod
-from ..models.skinner import initial_lbs_skinner, skinner_apply
+from ..models.skinner import SkinnerParams, initial_lbs_skinner, skinner_apply
 from ..models.smpl import synthetic_body_model, synthetic_body_sdf
 from ..ops.marching_cubes import marching_cubes_np
 from ..ops.math3d import compute_fnorms
@@ -50,7 +50,7 @@ TORSO_Y = (-0.32, 0.23)
 
 # Bump whenever the gt geometry above changes: ensure_scene() regenerates
 # stale cached scenes (and their result/ init caches) automatically.
-SCENE_VERSION = 2
+SCENE_VERSION = 3
 
 # Two-piece scene ("synthetic-two", TEMPLATE_GARMENT upper_tube+skirt):
 # the skirt (small offset) tucks UNDER the flared upper (large offset) in
@@ -61,11 +61,35 @@ UPPER2_Y = (-0.32, 0.23)
 SKIRT_OFFSET = 0.025
 SKIRT_Y = (-0.68, -0.26)
 
-# scene type → [(garment piece name, offset, y band, ATR parsing label)]
+# Loose A-line skirt scene ("synthetic-skirt" — BASELINE config #3's
+# CUHKszCap-A loose skirt with fite diffused skinning): the hem flares
+# away from the legs, where per-voxel body-KNN weights flip between the
+# two legs mid-air and would tear a hem that crosses the midline. The
+# scene poses its gt with a DIFFUSION-SMOOTHED weight field and ships
+# that field as diffused_skinning_weights.npy — the same file the
+# builder's fite path consumes (core/builder.py:99, reference
+# lib/fite diffused-skinning assets).
+LOOSE_SKIRT_OFFSET = 0.03
+LOOSE_SKIRT_FLARE = 0.22      # extra offset per meter below the waist
+LOOSE_SKIRT_Y = (-0.68, -0.26)
+
+
+def _flare_offset(offset, y, band_top):
+    """Effective offset at height y: scalar, or (base, flare) A-line."""
+    if isinstance(offset, tuple):
+        base, flare = offset
+        return base + flare * np.maximum(band_top - y, 0.0)
+    return offset
+
+
+# scene type → [(garment piece name, offset, y band, ATR parsing label)];
+# offset is a scalar or (base, flare-per-meter-below-band-top)
 SCENE_GARMENTS = {
     "synthetic-tube": [("tube", GARMENT_OFFSET, TORSO_Y, 4)],
     "synthetic-two": [("upper_tube", UPPER2_OFFSET, UPPER2_Y, 4),
                       ("skirt", SKIRT_OFFSET, SKIRT_Y, 5)],
+    "synthetic-skirt": [("skirt", (LOOSE_SKIRT_OFFSET, LOOSE_SKIRT_FLARE),
+                         LOOSE_SKIRT_Y, 5)],
 }
 # scene type → [(curve name, ring height, ring offset)]
 SCENE_CURVES = {
@@ -74,6 +98,14 @@ SCENE_CURVES = {
     "synthetic-two": [("neck", UPPER2_Y[1] - 0.01, UPPER2_OFFSET),
                       ("upper_bottom", UPPER2_Y[0] + 0.01, UPPER2_OFFSET),
                       ("bottom_curve", SKIRT_Y[0] + 0.01, SKIRT_OFFSET)],
+    "synthetic-skirt": [
+        ("upper_bottom", LOOSE_SKIRT_Y[1] - 0.01,
+         _flare_offset((LOOSE_SKIRT_OFFSET, LOOSE_SKIRT_FLARE),
+                       LOOSE_SKIRT_Y[1] - 0.01, LOOSE_SKIRT_Y[1])),
+        ("bottom_curve", LOOSE_SKIRT_Y[0] + 0.01,
+         _flare_offset((LOOSE_SKIRT_OFFSET, LOOSE_SKIRT_FLARE),
+                       LOOSE_SKIRT_Y[0] + 0.01, LOOSE_SKIRT_Y[1])),
+    ],
 }
 
 
@@ -96,8 +128,9 @@ def garment_sdf(pts: np.ndarray, offset: float = GARMENT_OFFSET,
                 band=TORSO_Y, x_clamp: float | None = X_CLAMP) -> np.ndarray:
     """Tube garment: body offset surface ∩ height slab (∩ |x| slab for
     torso garments — arms excluded, like the procedural templates);
-    closed via CSG."""
-    body = synthetic_body_sdf(pts) - offset
+    closed via CSG. ``offset`` may be (base, flare) for an A-line skirt
+    whose offset grows below the band top (see _flare_offset)."""
+    body = synthetic_body_sdf(pts) - _flare_offset(offset, pts[:, 1], band[1])
     slab = np.maximum(band[0] - pts[:, 1], pts[:, 1] - band[1])
     sd = np.maximum(body, slab)
     if x_clamp is not None and band[1] > -0.2:   # torso-band garments only
@@ -164,6 +197,23 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
     sk, body_verts, body_faces = initial_lbs_skinner(
         body, jnp.zeros(10), pose0, resolution=skinner_res
     )
+    if garment_type == "synthetic-skirt":
+        # fite-style diffused skinning: smooth the (24, D, H, W) weight
+        # field spatially and renormalize, pose the gt with it, and ship
+        # it so the builder's fite path (core/builder.py:99) trains with
+        # the SAME weights the gt was posed with.
+        import scipy.ndimage as ndi
+
+        w = np.asarray(sk.ws, np.float32)
+        w = ndi.gaussian_filter(w, sigma=(0.0, 2.0, 2.0, 2.0), mode="nearest")
+        w /= np.clip(w.sum(0, keepdims=True), 1e-8, None)
+        np.save(osp.join(out_dir, "diffused_skinning_weights.npy"), w)
+        sk = SkinnerParams(ws=jnp.asarray(w), Js=sk.Js,
+                           init_pose_inv=sk.init_pose_inv,
+                           extra_trans=sk.extra_trans,
+                           bbox_center=sk.bbox_center,
+                           bbox_extend=sk.bbox_extend,
+                           b_min=sk.b_min, b_max=sk.b_max)
     pieces = SCENE_GARMENTS[garment_type]
     gmeshes = [garment_mesh(offset=off, band=band)
                for _, off, band, _ in pieces]
@@ -262,7 +312,9 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
             json.dump({"shapes": shapes}, f)
 
         np.savez(osp.join(out_dir, f"gt_meshes/{fid}.npz"), verts=pg,
-                 faces=gt_faces)
+                 faces=gt_faces,
+                 piece_names=np.asarray([p[0] for p in pieces]),
+                 piece_sizes=np.asarray([len(g[0]) for g in gmeshes]))
 
     np.savez(
         osp.join(out_dir, "smpl_rec.npz"),

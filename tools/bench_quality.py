@@ -42,6 +42,15 @@ def main(argv=None):
                          "schedules instead of the quick bench schedules")
     ap.add_argument("--quick", action="store_true",
                     help="tiny scale for CI (64px, few steps)")
+    ap.add_argument("--garment-type", default="synthetic-tube",
+                    choices=["synthetic-tube", "synthetic-two",
+                             "synthetic-skirt"],
+                    help="synthetic-two = upper_tube + skirt with a shared "
+                         "occluded waist (two-garment machinery: zbuff_and "
+                         "visibility, split masks, waist sewing); "
+                         "synthetic-skirt = loose A-line skirt posed and "
+                         "trained with fite diffused skinning weights "
+                         "(BASELINE config #3)")
     ap.add_argument("--scene", default="/tmp/recmv_quality_scene")
     ap.add_argument("--out", default=osp.join(REPO, "bench_quality.json"))
     args = ap.parse_args(argv)
@@ -66,15 +75,22 @@ def main(argv=None):
     from recmv_tpu.ops.knn import chamfer_distance
     from recmv_tpu.utils.io import load_obj
 
-    scene = f"{args.scene}_{args.image}_{args.frames}"
+    two = args.garment_type == "synthetic-two"
+    suffix = {"synthetic-two": "_two", "synthetic-skirt": "_skirt"}.get(
+        args.garment_type, "")
+    scene = f"{args.scene}_{args.image}_{args.frames}{suffix}"
     ensure_scene(scene, n_frames=args.frames, image_size=args.image,
-                 skinner_res=(33, 57, 17))
+                 skinner_res=(33, 57, 17), garment_type=args.garment_type)
 
+    conf_name = {"synthetic-two": "smoke_two.conf",
+                 "synthetic-skirt": "smoke_skirt.conf"}.get(
+        args.garment_type, "smoke.conf")
     conf = ConfigFactory.parse_file(
-        osp.join(REPO, "configs", "synthetic", "smoke.conf"))
+        osp.join(REPO, "configs", "synthetic", conf_name))
+    n_g = 2 if two else 1
     dataset, sampler = get_dataset_and_loader(
-        scene, {"deformer": 256, "render": 256}, 2, shuffle=True,
-        garment_type="synthetic-tube", data_type="synthe")
+        scene, {"deformer": 256 * (1 + n_g) // 2, "render": 256}, 2, shuffle=True,
+        garment_type=args.garment_type, data_type="synthe")
     small = args.image <= 128
     cfg = TrainConfig(
         sample_pix=256 if small else 1024,
@@ -107,13 +123,26 @@ def main(argv=None):
 
     from recmv_tpu.geometry.mesh_utils import sample_mesh_surface
 
-    def _gt_surface(fid, n=100_000):
+    def _gt_surface(fid, n=100_000, lateral_only=False):
         """Dense area-weighted sample of the GT surface: the raw GT mesh
         is coarse (~2.3k verts, ~1 cm spacing), so point-to-VERTEX
         distances carry an ~8 mm discretization floor that swamps the
-        model error; sampling measures distance to the surface."""
+        model error; sampling measures distance to the surface.
+
+        lateral_only drops the CSG solid's flat end caps (|ny| ≈ 1):
+        a garment is an OPEN surface — scoring it against the closed
+        solid's cap disks adds an ~1.4e-3 sym-chamfer floor that no
+        garment reconstruction can remove (the reference's eval protocol,
+        fitting_garment_meshes.py, compares open garment to open garment
+        and has no such term)."""
         z = np.load(osp.join(scene, "gt_meshes", f"{fid}.npz"))
-        pts, _ = sample_mesh_surface(z["verts"], z["faces"], n, seed=fid)
+        verts, faces = z["verts"], z["faces"]
+        if lateral_only:
+            fn = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                          verts[faces[:, 2]] - verts[faces[:, 0]])
+            fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+            faces = faces[np.abs(fn[:, 1]) < 0.95]
+        pts, _ = sample_mesh_surface(verts, faces, n, seed=fid)
         return pts
 
     def _pose_to_gt(vs, fid):
@@ -148,12 +177,17 @@ def main(argv=None):
     t0 = time.time()
     import jax.random as jr
 
+    from recmv_tpu.utils.visualizer import LocalVisualizer
+
+    vis = LocalVisualizer(osp.join(scene, "result", "logs"))
     while steps < args.steps:
         for fids in sampler:
             batch = dataset.get_batch(fids)
             ratio["deformerRatio"] = net.opt_times / 2500.0 + 0.5
             key, sub = jr.split(key)
             loss, info = net.train_step(batch, fids, ratio, sub)
+            vis.add_scalars({k: v for k, v in info.items()
+                             if isinstance(v, (int, float))}, steps)
             steps += 1
             if steps in probe_at:
                 trend[steps] = mc_pred_to_gt()
@@ -204,21 +238,70 @@ def main(argv=None):
 
     from recmv_tpu.ops.knn import knn
 
-    dists, one_sided = [], []
+    def _gt_piece_surface(fid, gname, n=100_000):
+        """Area-weighted surface sample of ONE garment piece of the GT."""
+        z = np.load(osp.join(scene, "gt_meshes", f"{fid}.npz"))
+        names = [str(s) for s in z["piece_names"]]
+        sizes = list(z["piece_sizes"])
+        lo = sum(sizes[: names.index(gname)])
+        hi = lo + sizes[names.index(gname)]
+        vmask = np.zeros(len(z["verts"]), bool)
+        vmask[lo:hi] = True
+        fsel = vmask[z["faces"]].all(1)
+        keep = z["faces"][fsel] - lo
+        pts, _ = sample_mesh_surface(z["verts"][lo:hi], keep, n, seed=fid)
+        return pts
+
+    dists, dists_closed, one_sided = [], [], []
+    per_garment = {g: [] for g in net.statics.garment_names}
     for fid in range(dataset.frame_num):
         gp = osp.join(scene, "gt_meshes", f"{fid}.npz")
         cands = glob.glob(osp.join(out_dir, "meshs", f"{fid:04d}_*.obj"))
         if not osp.isfile(gp) or not cands:
             continue
         gt = _gt_surface(fid)
+        gt_lat = _gt_surface(fid, lateral_only=True)
         pred = np.concatenate([load_obj(c)[0] for c in cands], 0)
         dists.append(float(chamfer_distance(jnp.asarray(pred, jnp.float32),
-                                            jnp.asarray(gt))))
+                                            jnp.asarray(gt_lat))))
+        dists_closed.append(float(chamfer_distance(
+            jnp.asarray(pred, jnp.float32), jnp.asarray(gt))))
         # primary: every predicted vertex on the GT surface (the GT CSG
         # tube is closed — its inner wall/caps inflate the symmetric
         # number against an open garment by construction)
         d2, _ = knn(jnp.asarray(pred, jnp.float32), jnp.asarray(gt), 1)
         one_sided.append(float(jnp.mean(jnp.sqrt(d2))))
+        # per-garment one-sided (inter-garment confusion shows up here:
+        # an upper bleeding into the skirt scores against ITS OWN gt)
+        for gname in net.statics.garment_names:
+            cg = [c for c in cands if c.endswith(f"_{gname}.obj")]
+            if not cg:
+                continue
+            pg = np.concatenate([load_obj(c)[0] for c in cg], 0)
+            gtg = _gt_piece_surface(fid, gname)
+            d2g, _ = knn(jnp.asarray(pg, jnp.float32),
+                         jnp.asarray(gtg, jnp.float32), 1)
+            per_garment[gname].append(float(jnp.mean(jnp.sqrt(d2g))))
+
+    # waist seam gap (two-garment): distance between the sewn canonical
+    # waist loops of the registered meshes (sew_upper_bottom target)
+    seam_gap = None
+    names = list(net.statics.garment_names)
+    if len(names) == 2:
+        labs = {}
+        for g in names:
+            lp = osp.join(out_dir, f"registry_{g}_labels.npz")
+            if osp.isfile(lp):
+                with np.load(lp) as z:
+                    labs[g] = {k: z[k] for k in z.files}
+        if all("upper_bottom" in labs.get(g, {}) for g in names):
+            uv, _ = inf.registered[names[0]]
+            bv, _ = inf.registered[names[1]]
+            up = uv[labs[names[0]]["upper_bottom"]]
+            bp = bv[labs[names[1]]["upper_bottom"]]
+            d2s, _ = knn(jnp.asarray(bp, jnp.float32),
+                         jnp.asarray(up, jnp.float32), 1)
+            seam_gap = round(float(jnp.mean(jnp.sqrt(d2s))), 6)
     dev = jax.devices()[0]
     out = {
         "config": {"image": args.image, "frames": args.frames,
@@ -229,6 +312,12 @@ def main(argv=None):
         "pred_to_gt_dist_mean": round(float(np.mean(one_sided)), 6),
         "chamfer_l2_sym_per_frame": [round(d, 6) for d in dists],
         "chamfer_l2_sym_mean": round(float(np.mean(dists)), 6),
+        "chamfer_l2_sym_vs_closed_mean": round(float(np.mean(dists_closed)), 6),
+        "garment_type": args.garment_type,
+        "per_garment_pred_to_gt": {
+            g: round(float(np.mean(v)), 6)
+            for g, v in per_garment.items() if v},
+        "waist_seam_gap": seam_gap,
         "mc_pred_to_gt_trend": {str(k): v for k, v in trend.items()},
         "mc_fresh_to_gt_trend": {str(k): v for k, v in trend_fresh.items()},
         "nricp_schedule": ("production-200+100" if args.production_nricp

@@ -155,6 +155,11 @@ def build_opt_net(conf, dataset: SceneDataset, save_root: str,
         surface_sample=_cap("surface_sample", 4096),
         zbuf_downscale=_cap("zbuf_downscale", 4),
         seed_downscale=_cap("seed_downscale", 2),
+        # default 1/2-res soft-mask rendering at production image sizes
+        # (coverage-equivalent, see TrainConfig.mask_render_downscale);
+        # small/CI images keep the reference-exact full-res render
+        mask_render_downscale=_cap("mask_render_downscale",
+                                   2 if min(image_size) >= 720 else 1),
     )
 
     loss_conf = conf.get_config("loss_coarse") if "loss_coarse" in conf else conf

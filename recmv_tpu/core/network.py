@@ -103,6 +103,12 @@ class TrainConfig:
     # grid; mask test, gt color and the solved intersection stay exact.
     # 1 = nominate from every pixel (reference-exact sampling pool).
     seed_downscale: int = 2
+    # pc-branch soft-mask render resolution divisor: the IoU target is
+    # the splat-radius-dilated gt mask, so the signal is a coverage map,
+    # not a sharp boundary; 1/s rendering (gt subsampled to match, splat
+    # radius NDC-relative so coverage is res-invariant) cuts the
+    # point-binning/compositing cost ~s². 1 = reference-exact full res.
+    mask_render_downscale: int = 1
     # True: block_until_ready at each phase boundary so info['t_*'] are
     # real per-phase walls. False (default): phases are dispatched
     # back-to-back with a single device sync at the end of the step —
@@ -600,13 +606,16 @@ class GarmentOptimNetwork:
         return scene_camera(scene, self.statics.image_size)
 
     def _deform_garment_verts(self, gparams, scene, garment_vs_list, frame_ids, ratio,
-                              gi0: int = 0):
+                              gi0: int = 0, with_lbs_only: bool = False):
         """Per garment: (N, cap, 3) posed vertices.
 
         ``gi0`` is the garment index of ``garment_vs_list[0]`` in the
         scene's garment ordering — callers passing a sublist (e.g. a
         single garment's verts) must set it so each garment is deformed
-        with ITS deformer latent (conds[gi0+k+1]), not garment 0's."""
+        with ITS deformer latent (conds[gi0+k+1]), not garment 0's.
+
+        with_lbs_only=True: each entry is (posed, lbs_only) — the
+        def-consistency pair from one shared weight-field sampling."""
         r = self._ratio_dict(ratio)
         conds = split_deform_conds(scene["conds"]["deformer"][frame_ids], self.statics.garment_size)
         poses = scene["poses"][frame_ids]
@@ -615,7 +624,8 @@ class GarmentOptimNetwork:
         for gi, vs in enumerate(garment_vs_list):
             model_params = {"translator": gparams["translator"], "skinner": self.params["skinner"]}
             deform = make_deform_fn(model_params, self.statics, conds[gi0 + gi + 1], poses,
-                                    trans, r["deformerRatio"])
+                                    trans, r["deformerRatio"],
+                                    with_lbs_only=with_lbs_only)
             N = frame_ids.shape[0]
             out.append(deform(jnp.broadcast_to(vs, (N,) + vs.shape)))
         return out
@@ -826,21 +836,32 @@ class GarmentOptimNetwork:
         radius = self.cfg.point_radius
         radius_px = L.point_render_radius_px(radius, H, W)
 
-        def_vs = self._deform_garment_verts(
+        need_cons = float(self.conf.get_float(
+            "pc_weight.def_consistent.weight", -1.0)) > 0
+        deformed = self._deform_garment_verts(
             {"translator": gparams["translator"]}, scene, list(garment_vs_tuple),
-            frame_ids, ratio)
+            frame_ids, ratio, with_lbs_only=need_cons)
+        if need_cons:
+            def_vs = [d[0] for d in deformed]
+            lbs_vs = [d[1] for d in deformed]
+        else:
+            def_vs, lbs_vs = deformed, None
         all_def = jnp.concatenate(def_vs, axis=1)  # (N, ΣcapV, 3)
         caps = [v.shape[0] for v in garment_vs_tuple]
         valid_sections = [jnp.arange(cap) < counts[i] for i, cap in enumerate(caps)]
         valid_all = jnp.concatenate(valid_sections)
 
-        conds = split_deform_conds(scene["conds"]["deformer"][frame_ids],
-                                   self.statics.garment_size)
-        poses = scene["poses"][frame_ids]
-        trans = scene["trans"][frame_ids]
-
         total = 0.0
         info = {}
+        # Soft-mask render resolution: IoU on the dilated gt mask is a
+        # coverage signal, not a sharp-boundary one (the gt is max-pooled
+        # by the splat radius anyway), so at production image sizes it is
+        # rendered at 1/s res — splat radius is NDC-relative so coverage
+        # is unchanged, and the point-side binning/compositing cost
+        # (the dominant pc-branch line after the deformer, ~60 ms/step
+        # at the 1080p fine caps — r4 trace) drops ~s².
+        ds = max(1, int(self.cfg.mask_render_downscale))
+        Hm, Wm = H // ds, W // ds
         # gt masks travel to the device as bool (_device_batch); their
         # dilation is static per (frame batch, radius) so the device
         # batch caches it (gt_pooled) — recomputing the 1080² 13×13
@@ -850,6 +871,8 @@ class GarmentOptimNetwork:
         else:
             mgt_list = [L.max_pool_mask(m.astype(jnp.float32), radius_px)
                         for m in gt_garment_masks]
+        if ds > 1:
+            mgt_list = [m[..., ::ds, ::ds][..., :Hm, :Wm] for m in mgt_list]
 
         # per-garment section one-hots as feature channels: one fused
         # composite pass renders every garment's soft mask at once
@@ -861,15 +884,20 @@ class GarmentOptimNetwork:
 
         def render_frame(pts_f):
             scr = screen_with_cam_z(cam, pts_f)
+            if ds > 1:
+                scr = jnp.concatenate([scr[..., :2] / ds, scr[..., 2:]], -1)
             # hide padding points behind the camera
             scr = jnp.where(valid_all[:, None], scr, jnp.asarray([0.0, 0.0, -1.0]))
-            img = composite_points(scr, radius, sections, (H, W),
+            # per-tile candidate cap scales with ds (4x fewer tiles → up
+            # to 4x the point density per tile; z-ordered binning keeps
+            # the nearest, so overflow only drops fully-occluded points)
+            img = composite_points(scr, radius, sections, (Hm, Wm),
                                    tile=self.cfg.raster_tile,
-                                   cap=self.cfg.raster_cap_points,
+                                   cap=self.cfg.raster_cap_points * ds,
                                    features_const=True)
-            return jnp.moveaxis(img, -1, 0)  # (G, H, W)
+            return jnp.moveaxis(img, -1, 0)  # (G, Hm, Wm)
 
-        masks = jax.lax.map(render_frame, all_def)  # (N, G, H, W)
+        masks = jax.lax.map(render_frame, all_def)  # (N, G, Hm, Wm)
 
         for gi, gname in enumerate(self.statics.garment_names):
             m_loss = L.iou_mask_loss(masks[:, gi], mgt_list[gi])
@@ -877,10 +905,7 @@ class GarmentOptimNetwork:
             total = total + m_loss * float(self.conf.get_float("pc_weight.mask_weight", 1.0))
             cw = float(self.conf.get_float("pc_weight.def_consistent.weight", -1.0))
             if cw > 0:
-                lbs_only = skinner_apply(
-                    self.params["skinner"],
-                    jnp.broadcast_to(garment_vs_tuple[gi], (N,) + garment_vs_tuple[gi].shape),
-                    poses, trans)
+                lbs_only = lbs_vs[gi]
                 c = float(self.conf.get_float("pc_weight.def_consistent.c", 0.01))
                 off2 = jnp.sum((def_vs[gi] - lbs_only) ** 2, -1)
                 vmask = valid_sections[gi][None, :]

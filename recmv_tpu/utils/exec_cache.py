@@ -116,36 +116,166 @@ def cache_enabled() -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
 
 
+def _source_tree_hash() -> str:
+    """Hash of every .py file in the recmv_tpu package (content only,
+    sorted relative paths) — a fast, conservative fingerprint for the
+    speculative-load alias key. Computed once per process."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    h.update(os.path.relpath(p, root).encode())
+                    with open(p, "rb") as fh:
+                        h.update(fh.read())
+        _SRC_HASH = h.hexdigest()
+    return _SRC_HASH
+
+
+_SRC_HASH = None
+
+
+def _alias_key(args, tag: str) -> str:
+    """Cheap (milliseconds) signature of an aot_compile call: arg
+    shapes/dtypes + pytree structure + source tree + jax/device. NOT
+    value-complete (baked-in constants — templates, loss weights from
+    the conf — are invisible to it), so it only ever *hints* which
+    executable the authoritative content key will select; see
+    aot_compile's speculative load."""
+    import jax
+
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    dev = jax.devices()[0]
+    h.update(f"{dev.platform}/{getattr(dev, 'device_kind', '?')}".encode())
+    h.update(tag.encode())
+    h.update(_source_tree_hash().encode())
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    h.update(str(treedef).encode())
+    for l in leaves:
+        h.update(f"{getattr(l, 'shape', ())}/{getattr(l, 'dtype', type(l))};".encode())
+    return h.hexdigest()[:32]
+
+
+def _load_exec(path: str, validate_args=None):
+    """pickle → deserialize_and_load (→ optional one-shot validation)."""
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    with open(path, "rb") as fh:
+        n_devs, payload, in_tree, out_tree = pickle.load(fh)
+    devs = jax.local_devices()[:n_devs] if n_devs else None
+    out = se.deserialize_and_load(payload, in_tree, out_tree,
+                                  execution_devices=devs)
+    if validate_args is not None:
+        # validate by executing once (phase fns are pure): stale
+        # machine-feature/fusion mismatches only surface at run time
+        jax.block_until_ready(out(*validate_args))
+    return out
+
+
 def aot_compile(jitted, args, cache_dir: str | None, tag: str = ""):
     """``jitted.lower(*args).compile()`` with a disk round-trip.
 
     Returns a ``jax.stages.Compiled`` (or loaded equivalent). With
     ``cache_dir=None`` this is a plain AOT compile.
+
+    Warm-start latency: lowering a production fused step costs ~65 s and
+    deserializing its 1.6 GB executable ~80 s — run serially that is the
+    whole warm_start budget (VERDICT r3 #8). An ``.alias`` sidecar maps a
+    cheap signature (shapes/source-tree, :func:`_alias_key`) to the last
+    content key it resolved to, so the expected executable can start
+    deserializing in a background thread WHILE the main thread lowers and
+    computes the authoritative content key; the speculative result is
+    only used if the content key confirms it. The content key stays the
+    sole authority — an alias hit never skips it.
     """
+    import threading
     import time
 
+    alias_path = spec = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        try:
+            akey = _alias_key(args, tag)
+            alias_path = os.path.join(cache_dir, f"{tag or 'fn'}-{akey}.alias")
+            if os.path.isfile(alias_path):
+                with open(alias_path) as fh:
+                    hinted = fh.read().strip()
+                hinted_path = os.path.join(cache_dir, hinted)
+                if os.path.isfile(hinted_path) and os.path.basename(hinted) == hinted:
+                    spec = {"path": hinted_path, "out": None, "err": None}
+
+                    def _spec_load():
+                        try:
+                            spec["out"] = _load_exec(spec["path"])
+                        except Exception as e:  # noqa: BLE001
+                            spec["err"] = e
+
+                    spec["thread"] = threading.Thread(target=_spec_load,
+                                                      daemon=True)
+                    spec["t0"] = time.time()
+                    spec["thread"].start()
+        except Exception as e:  # alias machinery is strictly advisory
+            _log(f"{tag}: alias probe failed ({type(e).__name__}: {e})")
+            spec = None
+
+    t0 = time.time()
     lowered = jitted.lower(*args)
+    t_lower = time.time() - t0
     if not cache_dir:
         return lowered.compile()
-    os.makedirs(cache_dir, exist_ok=True)
+    t0 = time.time()
     key = cache_key(lowered, tag)
-    path = os.path.join(cache_dir, f"{tag or 'fn'}-{key}.jexec")
+    t_key = time.time() - t0
+    if t_lower + t_key > 5:
+        _log(f"{tag}: lower {t_lower:.1f}s key {t_key:.1f}s")
+    fname = f"{tag or 'fn'}-{key}.jexec"
+    path = os.path.join(cache_dir, fname)
+
+    def _write_alias():
+        if alias_path:
+            try:
+                tmp = f"{alias_path}.tmp{os.getpid()}"
+                with open(tmp, "w") as fh:
+                    fh.write(fname)
+                os.replace(tmp, alias_path)
+            except Exception:
+                pass
+
+    if spec is not None and spec["path"] == path:
+        import jax
+
+        spec["thread"].join()
+        if spec["err"] is None:
+            try:
+                jax.block_until_ready(spec["out"](*args))
+                _log(f"{tag}: loaded in {time.time()-spec['t0']:.1f}s "
+                     f"(speculative, {path})")
+                return spec["out"]
+            except Exception as e:
+                _log(f"{tag}: speculative validate failed "
+                     f"({type(e).__name__}: {e}); recompiling")
+        else:
+            _log(f"{tag}: speculative load failed "
+                 f"({type(spec['err']).__name__}: {spec['err']}); retrying")
+    elif spec is not None:
+        # alias pointed at a different content key (constants changed
+        # without a source/shape change, e.g. new conf weights): let the
+        # wasted thread finish in the background, take the normal path
+        _log(f"{tag}: alias mismatch (hint {os.path.basename(spec['path'])} "
+             f"vs {fname})")
+
     if os.path.isfile(path):
         try:
             t0 = time.time()
-            with open(path, "rb") as fh:
-                n_devs, payload, in_tree, out_tree = pickle.load(fh)
-            from jax.experimental import serialize_executable as se
-
-            import jax
-
-            devs = jax.local_devices()[:n_devs] if n_devs else None
-            out = se.deserialize_and_load(payload, in_tree, out_tree,
-                                          execution_devices=devs)
-            # validate by executing once (phase fns are pure): stale
-            # machine-feature/fusion mismatches only surface at run time
-            jax.block_until_ready(out(*args))
+            out = _load_exec(path, validate_args=args)
             _log(f"{tag}: loaded in {time.time()-t0:.1f}s ({path})")
+            _write_alias()
             return out
         except Exception as e:  # corrupt/incompatible: recompile
             _log(f"{tag}: load failed ({type(e).__name__}: {e}); recompiling")
@@ -164,6 +294,7 @@ def aot_compile(jitted, args, cache_dir: str | None, tag: str = ""):
         with open(tmp, "wb") as fh:
             pickle.dump((n_devs, payload, in_tree, out_tree), fh)
         os.replace(tmp, path)
+        _write_alias()
         _log(f"{tag}: compiled in {dt:.1f}s, cached {len(payload)>>20} MiB")
     except Exception as e:  # serialization unsupported: still return compiled
         _log(f"{tag}: compiled in {dt:.1f}s, serialize failed "

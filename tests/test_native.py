@@ -57,6 +57,7 @@ class TestNativeMC:
 
 
 class TestHostExtractionPipeline:
+    @pytest.mark.heavy
     def test_update_host_matches_device(self, lib, tiny_scene_net):
         """net.marching_cube_update_host (seg3d → native host MC, the
         infer_fl --quality higher path) produces the same surfaces as the

@@ -30,6 +30,7 @@ def make_cfg(res0=(9, 9, 9), levels=3):
 
 
 class TestSeg3d:
+    @pytest.mark.heavy
     def test_signs_match_dense(self):
         # (blob topology covered by test_mc_surface_identical)
         cfg = make_cfg()

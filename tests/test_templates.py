@@ -89,6 +89,7 @@ class TestTemplateAssets:
         _, counts = np.unique(e, axis=0, return_counts=True)
         assert (counts == 2).all()
 
+    @pytest.mark.heavy
     def test_scene_init_consumes_assets(self, tube_asset_dir, tmp_path):
         """initialize_tmp_sdf(template_dir=...) uses the asset template
         instead of the procedural slice and completes initialization

@@ -111,6 +111,9 @@ def main(argv=None):
         remesh_intersect=120,         # reference fine cadence
         batch_size=args.batch,
         image_size=(args.image, args.image),
+        # mirror build_opt_net's production default: 1/2-res soft-mask
+        # rendering at >=720p (coverage-equivalent; see TrainConfig)
+        mask_render_downscale=2 if args.image >= 720 else 1,
     )
     # MC capacity sized for the finest grid
     max_face = max(Wg * Hg, Wg * Dg, Hg * Dg)
@@ -233,15 +236,33 @@ def main(argv=None):
             mfu["hbm_util_pct_vs_819gbs"] = round(
                 100.0 * costs["bytes accessed"] / sec_per_step / 819e9, 1)
 
+    cfg_rec = {
+        "image": args.image, "sample_pix": args.sample_pix,
+        "batch": args.batch, "pyramid": list(resolutions[-1]),
+        "quality": args.quality, "steps": args.steps,
+    }
+    # cold vs warm-process startup (VERDICT r3 #8): successive runs on the
+    # same config append their warm_start walls — run[0] is the cold
+    # (cache-building) process, the last entry is a warm restart whose
+    # phase executables deserialize from the exec cache.
+    warm_runs = []
+    if osp.isfile(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if prev.get("config") == cfg_rec:
+                warm_runs = prev.get("warm_start_runs_s",
+                                     [prev.get("warm_start_s")])
+        except Exception:
+            pass
+    warm_runs = [w for w in warm_runs if w is not None] + [round(warm_start_s, 2)]
+
     out = {
-        "config": {
-            "image": args.image, "sample_pix": args.sample_pix,
-            "batch": args.batch, "pyramid": list(resolutions[-1]),
-            "quality": args.quality, "steps": args.steps,
-        },
+        "config": cfg_rec,
         "device": str(dev),
         "platform": dev.platform,
         "warm_start_s": round(warm_start_s, 2),
+        "warm_start_runs_s": warm_runs,
         "first_step_s": round(first_step, 2),
         "sec_per_step": round(sec_per_step, 3),
         "sec_per_step_amortized": round(amortized, 3),

@@ -529,7 +529,14 @@ class SnugAnimationDataset:
 
 class InitFlDataset(SceneDataset):
     """Curve-init subset: only frames with their own feature-line
-    annotation (dataset.py:894-1003)."""
+    annotation (dataset.py:894-1003).
+
+    The reference's fl_optimizer consumes this subset as a DataLoader
+    (fl_optimizer.py:121 → get_init_fl_datasets); the rebuilt curve init
+    (core/network.py scale_rigid fl init) consumes the same subset
+    directly from ``fl_supervised`` in one jitted batch — this class
+    provides the dataset-object view of that subset for API parity and
+    for :meth:`LargePoseDataset.get_init_fl_dataset`."""
 
     def __init__(self, data_root, conds_lens=None, garment_type="", fl_sampling=100,
                  curve_sampling=1, sampler_idx=None):
@@ -549,7 +556,14 @@ class InitFlDataset(SceneDataset):
 # ---------------------------------------------------------------------------
 
 class ClipSampler:
-    """Yields contiguous clips of batch_size frames."""
+    """Yields contiguous clips of batch_size frames.
+
+    Parity note: the reference defines this sampler but leaves it
+    unconsumed too — its DataLoader keeps ``sampler=ClipSampler(...)``
+    commented out (dataset.py:1113,1179) and trains with the default
+    random sampler; contiguous windows for the DCT pose prior come from
+    the dataset's sliding-window helper instead
+    (:meth:`SceneDataset.get_batchframe_data`)."""
 
     def __init__(self, dataset_len, batch_size, shuffle=True, seed=0):
         self.n = dataset_len

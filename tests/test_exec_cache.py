@@ -71,6 +71,44 @@ class TestExecCache:
         c = aot_compile(jax.jit(_fn), (a, a), cd, tag="bad")
         assert float(c(a, a)["s"]) == 128.0
 
+    def test_alias_sidecar_speculative_load(self, tmp_path):
+        cd = str(tmp_path / "exec")
+        a = np.full((8, 8), 3.0, np.float32)
+        aot_compile(jax.jit(_fn), (a, a), cd, tag="al")
+        aliases = [f for f in os.listdir(cd) if f.endswith(".alias")]
+        jexecs = [f for f in os.listdir(cd) if f.endswith(".jexec")]
+        # fresh compile writes the sidecar pointing at its own payload
+        assert len(aliases) == 1 and len(jexecs) == 1
+        with open(os.path.join(cd, aliases[0])) as fh:
+            assert fh.read().strip() == jexecs[0]
+        # warm process: the alias-hinted speculative load must return the
+        # correct executable (content key confirms the hint)
+        c = aot_compile(jax.jit(_fn), (a, a), cd, tag="al")
+        np.testing.assert_allclose(np.asarray(c(a, a)["dot"]),
+                                   np.asarray(a @ a))
+
+    def test_alias_mismatch_falls_through(self, tmp_path):
+        # an alias pointing at a DIFFERENT content key (stale hint) must
+        # not be trusted: the authoritative path recompiles/loads by key
+        cd = str(tmp_path / "exec")
+        a = np.full((8, 8), 1.0, np.float32)
+        aot_compile(jax.jit(_fn), (a, a), cd, tag="mm")
+        (alias,) = [f for f in os.listdir(cd) if f.endswith(".alias")]
+        with open(os.path.join(cd, alias), "w") as fh:
+            fh.write("mm-doesnotexist.jexec")  # dangling hint: skipped
+        c = aot_compile(jax.jit(_fn), (a, a), cd, tag="mm")
+        assert float(c(a, a)["s"]) == 128.0
+        # a hint at a real but WRONG payload is ignored by key mismatch
+        def _fn2(x, y):
+            return {"dot": x @ y, "s": jnp.sum(x) * 4.0}
+        aot_compile(jax.jit(_fn2), (a, a), cd, tag="mm2")
+        (wrong,) = [f for f in os.listdir(cd)
+                    if f.endswith(".jexec") and f.startswith("mm2")]
+        with open(os.path.join(cd, alias), "w") as fh:
+            fh.write(wrong)
+        c = aot_compile(jax.jit(_fn), (a, a), cd, tag="mm")
+        assert float(c(a, a)["s"]) == 128.0  # not _fn2's 256
+
     def test_train_config_env_default(self, monkeypatch, tmp_path):
         from recmv_tpu.core.network import TrainConfig
 

@@ -19,12 +19,27 @@ def masked_mean(x, mask, axis=None, eps: float = 1e-9):
     return jnp.sum(x * mask, axis=axis) / jnp.clip(jnp.sum(mask, axis=axis), eps, None)
 
 
-def iou_mask_loss(pred_masks: jnp.ndarray, gt_masks: jnp.ndarray) -> jnp.ndarray:
+def iou_mask_loss(pred_masks: jnp.ndarray, gt_masks: jnp.ndarray,
+                  keep: jnp.ndarray | None = None) -> jnp.ndarray:
     """1 − IoU between soft predicted and (max-pooled) gt masks
-    (OptimGarmentNetwork.py:861-869): per-frame, then mean."""
+    (OptimGarmentNetwork.py:861-869): per-frame, then mean.
+
+    ``keep`` (same shape as gt, 1=score / 0=don't-care) excludes pixels
+    where the gt parsing mask says BODY (arm/hand/skin) in front of the
+    garment: the parsing gt is "visible garment", but the point-splat
+    composite renders the garment with no body occluder, so without the
+    gate the union term pulls body-occluded garment surface inward (the
+    reference has no such gate in its mask loss and relies on its gt
+    masks being occlusion-light; it gates its CURVE losses by body
+    z-buffer visibility for exactly this reason —
+    OptimGarmentNetwork.py:1374-1468)."""
     N = gt_masks.shape[0]
     p = pred_masks.reshape(N, -1)
     g = gt_masks.reshape(N, -1)
+    if keep is not None:
+        k = keep.reshape(N, -1)
+        p = p * k
+        g = g * k
     inter = jnp.sum(p * g, -1)
     union = jnp.sum(jnp.abs(p + g - p * g), -1)
     return jnp.mean(1.0 - inter / jnp.clip(union, 1e-9, None))

@@ -399,10 +399,12 @@ class GarmentOptimNetwork:
             out.append((v, f, int(nv), int(nf)))
         return out
 
-    def _get_vol_fn(self, cfg, static):
+    def _get_vol_fn(self, cfg, static, stop_after=None):
         """Jitted seg3d pyramid returning the dense finest volume (no MC)
-        — feeds the host marching cubes for very large inference grids."""
-        key = ("vol", cfg, static)
+        — feeds the host marching cubes for very large inference grids.
+        ``stop_after`` truncates the pyramid (returns (occ, evaluated))
+        for the host-orchestrated final level (ops.seg3d.host_refine_level)."""
+        key = ("vol", cfg, static, stop_after)
         if key not in self._extract_cache:
 
             @jax.jit
@@ -412,15 +414,57 @@ class GarmentOptimNetwork:
                     box = jnp.max(jnp.maximum(pts - bmax, bmin - pts), -1)
                     return jnp.maximum(s, box)
 
-                return seg3d_forward(q, cfg)
+                return seg3d_forward(q, cfg, stop_after=stop_after)
 
             from ..utils.exec_cache import LazyAot, cache_enabled
 
             if (self.cfg.exec_cache_dir and self.pmesh is None
                     and cache_enabled()):
-                vol_fn = LazyAot(vol_fn, self.cfg.exec_cache_dir, "vol")
+                tag = "vol" if stop_after is None else f"vol_pen{stop_after}"
+                vol_fn = LazyAot(vol_fn, self.cfg.exec_cache_dir, tag)
             self._extract_cache[key] = vol_fn
         return self._extract_cache[key]
+
+    # final grids beyond this voxel count run the last pyramid level on
+    # the host (chunked queries): the fused 513³ seg3d graph needs ~17.7 G
+    # HBM on a 16 G chip (dense cumsum compaction double-buffered by the
+    # requery while_loop)
+    _HOST_LEVEL_VOXELS = 1 << 26
+
+    def _vol_host_hybrid(self, cfg, static, prm, r, bmin, bmax):
+        """Dense finest volume for huge grids: device pyramid to the
+        penultimate level + host-orchestrated final level."""
+        from ..ops.seg3d import host_refine_level
+
+        pen_fn = self._get_vol_fn(cfg, static, stop_after=len(cfg.resolutions) - 1)
+        occ, evaluated = pen_fn(prm, r, bmin, bmax)
+
+        chunk = 1 << 18
+        qkey = ("volq", static, chunk)
+        q_chunk = self._extract_cache.get(qkey)
+        if q_chunk is None:
+            @jax.jit
+            def q_chunk(sdf_params, ratio, bmn, bmx, pts):
+                s = sdf_value(sdf_params, static, pts, ratio)
+                box = jnp.max(jnp.maximum(pts - bmx, bmn - pts), -1)
+                return jnp.maximum(s, box)
+
+            self._extract_cache[qkey] = q_chunk
+
+        def query_np(pts):
+            n = pts.shape[0]
+            out = np.empty(n, np.float32)
+            for s in range(0, n, chunk):
+                p = pts[s:s + chunk]
+                pad = chunk - p.shape[0]
+                if pad:
+                    p = np.pad(p, ((0, pad), (0, 0)))
+                out[s:s + chunk] = np.asarray(
+                    q_chunk(prm, r, bmin, bmax, jnp.asarray(p)))[:n - s]
+            return out
+
+        return host_refine_level(query_np, cfg, np.asarray(occ),
+                                 np.asarray(evaluated))
 
     def discretize_sdf_host(self, ratio, balance_value: float = 0.0,
                             seg3d_cfg=None, max_verts: int = 1 << 22,
@@ -442,8 +486,12 @@ class GarmentOptimNetwork:
             static = self.statics.sdf if gi is None else self.statics.garment_sdf
             prm = self.params["sdf"] if gi is None else self.params["garment_sdfs"][gi]
             bmin, bmax = self._extract_bbox(gi)
-            vol = np.asarray(self._get_vol_fn(cfg, static)(
-                prm, r, jnp.asarray(bmin), jnp.asarray(bmax)))
+            if int(np.prod(cfg.resolutions[-1])) > self._HOST_LEVEL_VOXELS:
+                vol = self._vol_host_hybrid(cfg, static, prm, r,
+                                            jnp.asarray(bmin), jnp.asarray(bmax))
+            else:
+                vol = np.asarray(self._get_vol_fn(cfg, static)(
+                    prm, r, jnp.asarray(bmin), jnp.asarray(bmax)))
             v, f = marching_cubes_host(vol, balance_value,
                                        origin=np.asarray(origin),
                                        spacing=np.asarray(spacing),
@@ -1275,13 +1323,22 @@ class GarmentOptimNetwork:
             else:
                 out[k] = jnp.asarray(v)
         # pre-dilated garment masks for the pc branch (static per frame
-        # batch; saves a 1080² reduce_window inside every step)
+        # batch; saves a 1080² reduce_window inside every step). Packed
+        # channels-last with a KEEP plane (1=score, 0=body-occluded
+        # garment don't-care — see losses.iou_mask_loss): (N, H, W, 2)
+        # so the ('data','rays') image sharding still splits N and rows.
         W, H = self.statics.image_size
         radius_px = L.point_render_radius_px(self.cfg.point_radius, H, W)
         pool = self._pool_jit(radius_px)
+        occ = out.get("body")
         for k in self._garment_mask_keys():
             if k in out:
-                out[k + "__pooled"] = pool(out[k])
+                pooled = pool(out[k])
+                if occ is not None:
+                    keep = jnp.maximum(pooled, 1.0 - occ.astype(jnp.float32))
+                else:
+                    keep = jnp.ones_like(pooled)
+                out[k + "__pooled"] = jnp.stack([pooled, keep], axis=-1)
         if len(self._batch_dev_cache) >= 16:   # FIFO bound on HBM use
             self._batch_dev_cache.pop(next(iter(self._batch_dev_cache)))
         self._batch_dev_cache[key] = out

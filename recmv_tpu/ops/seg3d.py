@@ -151,13 +151,22 @@ def _masked_requery_all(query_fn, cfg, occ, mask, stride, budget, W, H, D):
     return occ, done, passes
 
 
-def seg3d_forward(query_fn, cfg: Seg3dConfig, with_stats: bool = False):
+def seg3d_forward(query_fn, cfg: Seg3dConfig, with_stats: bool = False,
+                  stop_after: int | None = None):
     """Run the coarse-to-fine evaluation.
 
     query_fn: (N, 3) world points → (N,) field values (jit-traceable).
     Returns the finest-level dense volume (D, H, W) (z, y, x layout);
     with ``with_stats`` also the total number of *executed* query points
     (budget-padded batches included — the real compute spent).
+
+    ``stop_after`` = number of pyramid LEVELS to run (e.g. len-1 = stop
+    at the penultimate resolution). World coordinates are always derived
+    from the FULL pyramid's finest grid, so a truncated run's voxels sit
+    exactly on the even indices of the next level — the host-orchestrated
+    final level (seg3d_forward_host) depends on this. Returns
+    (occ, evaluated) in this mode so interpolated-only voxels keep their
+    requery eligibility.
     """
     bal = cfg.balance_value
     res0 = cfg.resolutions[0]
@@ -170,7 +179,10 @@ def seg3d_forward(query_fn, cfg: Seg3dConfig, with_stats: bool = False):
     # *queried* (vs interpolated) values
     evaluated = jnp.ones(occ.shape, bool)
 
-    for li, res in enumerate(cfg.resolutions[1:]):
+    levels = cfg.resolutions[1:]
+    if stop_after is not None:
+        levels = levels[: max(stop_after - 1, 0)]
+    for li, res in enumerate(levels):
         W, H, D = res
         stride = (res_last - 1) // (np.asarray(res) - 1)
         budget = cfg.budgets[li]
@@ -222,9 +234,95 @@ def seg3d_forward(query_fn, cfg: Seg3dConfig, with_stats: bool = False):
             occ, evaluated, _, n_queried = jax.lax.while_loop(
                 c_cond, c_body, (occ, evaluated, newly, n_queried))
 
+    if stop_after is not None:
+        return occ, evaluated
     if with_stats:
         return occ, n_queried
     return occ
+
+
+def _upsample2x_np(a: np.ndarray) -> np.ndarray:
+    """(D,H,W) → (2D-1,2H-1,2W-1) trilinear align_corners=True upsample
+    in numpy: on the exact 2x-1 lattice trilinear reduces to separable
+    midpoint averages (matches resize_trilinear bit-for-bit on even/odd
+    index parities)."""
+    for ax in range(3):
+        n = a.shape[ax]
+        out_shape = list(a.shape)
+        out_shape[ax] = 2 * n - 1
+        out = np.empty(out_shape, a.dtype)
+        even = [slice(None)] * 3
+        even[ax] = slice(0, None, 2)
+        out[tuple(even)] = a
+        odd = [slice(None)] * 3
+        odd[ax] = slice(1, None, 2)
+        lo = [slice(None)] * 3
+        lo[ax] = slice(0, n - 1)
+        hi = [slice(None)] * 3
+        hi[ax] = slice(1, n)
+        out[tuple(odd)] = 0.5 * (a[tuple(lo)] + a[tuple(hi)])
+        a = out
+    return a
+
+
+def host_refine_level(query_np_fn, cfg: Seg3dConfig, occ, evaluated):
+    """Final pyramid level on the HOST: numpy upsample/boundary/conflict
+    bookkeeping + device queries only for the candidate points.
+
+    Same algorithm as the in-graph level loop of ``seg3d_forward``; use
+    it for very large inference grids (the reference's 513³ ``higher``
+    mode, train.py:47-79) where the fused XLA program's dense bookkeeping
+    (cumsum compaction inside a double-buffered while_loop) exceeds HBM —
+    the 513³ graph wanted 17.7 G on a 16 G v5e chip. Device memory here
+    is bounded by the query chunk; host RAM holds the f32 volume (540 MB
+    at 513³).
+
+    occ, evaluated: penultimate-level results from
+    ``seg3d_forward(..., stop_after=len(resolutions)-1)``.
+    query_np_fn: (N,3) float32 world points (numpy) → (N,) numpy values.
+    """
+    from scipy import ndimage as ndi
+
+    bal = cfg.balance_value
+    W, H, D = cfg.resolutions[-1]
+    occ = np.asarray(occ, np.float32)
+    sign = (occ > bal).astype(np.float32)
+    valid = _upsample2x_np(sign)
+    vol = _upsample2x_np(occ)
+    assert vol.shape == (D, H, W), (vol.shape, (D, H, W))
+    is_boundary = (valid > 0.0) & (valid < 1.0)
+    del valid, sign
+    is_boundary = ndi.maximum_filter(is_boundary, size=3, mode="nearest")
+    ev = np.zeros((D, H, W), bool)
+    ev[::2, ::2, ::2] = np.asarray(evaluated, bool)
+
+    b_min = np.asarray(cfg.b_min, np.float32)
+    b_max = np.asarray(cfg.b_max, np.float32)
+    res_last = np.asarray((W, H, D), np.float32)
+
+    def world(idx):
+        zc, rem = np.divmod(idx, H * W)
+        yc, xc = np.divmod(rem, W)
+        c = (np.stack([xc, yc, zc], -1).astype(np.float32)
+             / res_last + 0.5 / res_last)
+        return c * (b_max - b_min) + b_min
+
+    flat = vol.reshape(-1)
+    conflict = np.zeros(vol.shape, bool)
+    mask = is_boundary & ~ev
+    rounds = cfg.conflict_rounds
+    while mask.any():
+        idx = np.flatnonzero(mask)
+        interp = flat[idx].copy()
+        vals = np.asarray(query_np_fn(world(idx)), np.float32)
+        flat[idx] = vals
+        ev |= mask
+        conflict[:] = False
+        conflict.reshape(-1)[idx] = ((interp - bal) * (vals - bal)) < 0
+        if rounds <= 0:
+            break
+        mask = ndi.maximum_filter(conflict, size=3, mode="nearest") & ~ev
+    return vol
 
 
 def seg3d_dense(query_fn, cfg: Seg3dConfig, chunk: int = 262144):

@@ -94,8 +94,10 @@ def main(argv=None):
     small = args.image <= 128
     cfg = TrainConfig(
         sample_pix=256 if small else 1024,
-        point_radius=0.02 if small else 0.008,
-        remesh_intersect=8, batch_size=2,
+        point_radius=conf.get_float("train.coarse.point_render.radius", 0.02),
+        remesh_intersect=conf.get_int(
+            "train.coarse.point_render.remesh_intersect", 16),
+        batch_size=2,
         image_size=(args.image, args.image),
         mc_capacity_v=1 << 14, mc_capacity_f=1 << 15,
         raster_tile=16 if small else 32,
@@ -169,11 +171,76 @@ def main(argv=None):
         vs = g_v[:, :g_nv].T  # lane-major (3, cap) → (nv, 3)
         return _pose_to_gt(vs, fid)
 
+    # -- canonical-space diagnostics (no pose, no registration): WHERE
+    # the SDF is wrong, not just how much.  Radial sign convention:
+    # positive = prediction INSIDE the gt surface (collapsed), negative
+    # = outside (inflated).
+    from recmv_tpu.data.synthetic import (SCENE_CURVES, SCENE_GARMENTS,
+                                          boundary_ring, garment_mesh)
+
+    pieces = SCENE_GARMENTS[args.garment_type]
+    gt_cano = {}
+    for gname, off, band, _lab in pieces:
+        gv_, gf_ = garment_mesh(res=129, offset=off, band=band)
+        pts_, _ = sample_mesh_surface(gv_, gf_, 50_000, seed=0)
+        gt_cano[gname] = np.asarray(pts_, np.float32)
+    gt_rings = {name: np.asarray(boundary_ring(ylv, offset=off), np.float32)
+                for name, ylv, off in SCENE_CURVES[args.garment_type]}
+
+    def canonical_diag(step):
+        meshes = net.discretize_sdf(net._ratio_dict(ratio), -net.sdf_shrink)
+        for gi, (gname, off, band, _lab) in enumerate(pieces):
+            g_v, _, g_nv, _ = meshes[1 + gi]
+            vs = np.asarray(g_v[:, : int(g_nv)].T)
+            gt = gt_cano[gname]
+            d2, idx = _knn(jnp.asarray(vs, jnp.float32), jnp.asarray(gt), 1)
+            d2 = np.asarray(d2)[:, 0]
+            nn = gt[np.asarray(idx)[:, 0]]
+            rad = vs.copy()
+            rad[:, 1] = 0.0
+            rad /= np.maximum(np.linalg.norm(rad, axis=1, keepdims=True), 1e-9)
+            rc = ((nn - vs) * rad).sum(1)
+            lo, hi = band
+            q = np.linspace(lo, hi, 5)
+            prof = []
+            for a, b in zip(q[:-1], q[1:]):
+                m = (vs[:, 1] >= a) & (vs[:, 1] < b)
+                prof.append(round(float(rc[m].mean()), 4) if m.any() else None)
+            print(f"[diag] step {step} {gname}: cano rms "
+                  f"{float(np.sqrt(d2.mean())):.4f} radial(in+) lo→hi {prof}",
+                  flush=True)
+        from recmv_tpu.models.curves import curves_forward
+        cv = np.asarray(curves_forward(net.params["curves"], net.curve_statics))
+        for ci, cn in enumerate(net.curve_statics.fl_names):
+            if cn not in gt_rings:
+                continue
+            ring = gt_rings[cn]
+            dc, _ = _knn(jnp.asarray(cv[ci], jnp.float32), jnp.asarray(ring), 1)
+            r_pred = float(np.linalg.norm(cv[ci][:, [0, 2]], axis=1).mean())
+            r_gt = float(np.linalg.norm(ring[:, [0, 2]], axis=1).mean())
+            print(f"[diag] step {step} curve {cn}: rms "
+                  f"{float(jnp.sqrt(jnp.mean(dc))):.4f} mean-r pred "
+                  f"{r_pred:.4f} gt {r_gt:.4f} y pred "
+                  f"{float(cv[ci][:, 1].mean()):+.4f} gt "
+                  f"{float(ring[:, 1].mean()):+.4f}", flush=True)
+
     steps = 0
     trend = {0: mc_pred_to_gt()}
     trend_fresh = {0: mc_fresh_to_gt()}
+    canonical_diag(0)
     probe_at = sorted({args.steps // 4, args.steps // 2,
                        3 * args.steps // 4} - {0})
+    # coarse→medium→fine hierarchy at step fractions (train.py:178-190
+    # parity — the bench has no epoch axis, so phases switch at 40%/75%;
+    # splat radius anneals 0.02→0.012→0.008 so the coarse phase's wide
+    # splats can migrate the silhouette rim before the fine phase
+    # sharpens it, and remesh eras lengthen 16→24→32 so vert-SGD
+    # momentum survives long enough for pc_sdf to absorb the motion)
+    # (tiny CI runs skip the hierarchy: two extra full recompiles would
+    # dominate a 6-step run and the phases need eras to matter anyway)
+    phase_at = ({int(args.steps * 0.4): "medium",
+                 int(args.steps * 0.75): "fine"}
+                if args.steps >= 100 else {})
     t0 = time.time()
     import jax.random as jr
 
@@ -182,6 +249,17 @@ def main(argv=None):
     vis = LocalVisualizer(osp.join(scene, "result", "logs"))
     while steps < args.steps:
         for fids in sampler:
+            phase = phase_at.get(steps)
+            if phase is not None and f"loss_{phase}" in conf:
+                net.conf.set_loss_block(conf.get_config(f"loss_{phase}"))
+                net.cfg.point_radius = conf.get_float(
+                    f"train.{phase}.point_render.radius")
+                net.cfg.remesh_intersect = conf.get_int(
+                    f"train.{phase}.point_render.remesh_intersect")
+                net.isfine = phase == "fine"
+                net.on_phase_change()
+                print(f"[quality] step {steps}: enabled {phase} hierarchy",
+                      flush=True)
             batch = dataset.get_batch(fids)
             ratio["deformerRatio"] = net.opt_times / 2500.0 + 0.5
             key, sub = jr.split(key)
@@ -192,11 +270,16 @@ def main(argv=None):
             if steps in probe_at:
                 trend[steps] = mc_pred_to_gt()
                 trend_fresh[steps] = mc_fresh_to_gt()
+                canonical_diag(steps)
             if steps >= args.steps:
                 break
     t_train = time.time() - t0
     trend[steps] = mc_pred_to_gt()
     trend_fresh[steps] = mc_fresh_to_gt()
+    canonical_diag(steps)
+    # keep the trained state for post-hoc analysis (the registration +
+    # chamfer below are destructive of nothing, but the process exit is)
+    net.save_checkpoint(osp.join(scene, "result", "quality_final.ckpt"), steps)
     print(f"[quality] sgd-mesh pred->gt trend: {trend}", flush=True)
     print(f"[quality] fresh-mc pred->gt trend: {trend_fresh}", flush=True)
 

@@ -45,6 +45,20 @@ def iou_mask_loss(pred_masks: jnp.ndarray, gt_masks: jnp.ndarray,
     return jnp.mean(1.0 - inter / jnp.clip(union, 1e-9, None))
 
 
+def unpack_pooled_gt(packed: jnp.ndarray, ds: int, Hm: int, Wm: int):
+    """Split a packed ``(N, H, W, 2)`` [pooled, keep] gt-mask pair (built
+    channels-last by core/network._device_batch so image shardings still
+    split N and rows) and downsample by ``ds`` over the SPATIAL axes
+    (H, W) — never the channel axis. Returns (pooled, keep), each
+    ``(N, Hm, Wm)``. Regression guard for the r4 bug where the stride
+    was applied to the packed layout and hit (W, channel)."""
+    pooled, keep = packed[..., 0], packed[..., 1]
+    if ds > 1:
+        pooled = pooled[..., ::ds, ::ds][..., :Hm, :Wm]
+        keep = keep[..., ::ds, ::ds][..., :Hm, :Wm]
+    return pooled, keep
+
+
 def max_pool_mask(mask: jnp.ndarray, radius_px: int) -> jnp.ndarray:
     """Dilate gt masks by the point-render radius (OptimNetwork.py:451-454:
     max_pool2d with kernel 2r+1). mask (..., H, W)."""

@@ -63,6 +63,25 @@ from . import losses as L
 from .surface_ps import make_implicit_surface_adjoint, optimize_surface_points, ray_constraint
 
 
+def _degradable_error(e: BaseException) -> bool:
+    """True only for compile-infrastructure failures — remote-compile
+    drops, device OOM, exec-cache IO — where degrading the fused step to
+    per-phase executables is sound. Structural tracing errors
+    (TypeError / shape ValueError) must PROPAGATE: swallowing one turns
+    a hard bug into a mysterious fallback that crashes identically
+    later with a misleading trace (r4 shipped exactly that)."""
+    if isinstance(e, (TypeError, ValueError, AssertionError, KeyError,
+                      IndexError, AttributeError, NameError)):
+        return False
+    try:
+        from jaxlib.xla_extension import XlaRuntimeError
+        if isinstance(e, XlaRuntimeError):
+            return True
+    except ImportError:
+        pass
+    return isinstance(e, (RuntimeError, OSError, MemoryError))
+
+
 @dataclass
 class MeshState:
     """Per-remesh-era explicit meshes (padded to static capacity)."""
@@ -915,12 +934,17 @@ class GarmentOptimNetwork:
         # batch caches it (gt_pooled) — recomputing the 1080² 13×13
         # reduce_window every step cost ~20 ms/step on-device in r3
         if gt_pooled is not None:
-            mgt_list = list(gt_pooled)
+            # packed channels-last [pooled, keep] (N, H, W, 2) from
+            # _device_batch — unpack BEFORE the ds stride so it hits
+            # (H, W), not (W, channel)
+            mgt_list = [L.unpack_pooled_gt(m, ds, Hm, Wm) for m in gt_pooled]
         else:
-            mgt_list = [L.max_pool_mask(m.astype(jnp.float32), radius_px)
-                        for m in gt_garment_masks]
-        if ds > 1:
-            mgt_list = [m[..., ::ds, ::ds][..., :Hm, :Wm] for m in mgt_list]
+            mgt_list = []
+            for m in gt_garment_masks:
+                pooled = L.max_pool_mask(m.astype(jnp.float32), radius_px)
+                if ds > 1:
+                    pooled = pooled[..., ::ds, ::ds][..., :Hm, :Wm]
+                mgt_list.append((pooled, None))
 
         # per-garment section one-hots as feature channels: one fused
         # composite pass renders every garment's soft mask at once
@@ -948,7 +972,8 @@ class GarmentOptimNetwork:
         masks = jax.lax.map(render_frame, all_def)  # (N, G, Hm, Wm)
 
         for gi, gname in enumerate(self.statics.garment_names):
-            m_loss = L.iou_mask_loss(masks[:, gi], mgt_list[gi])
+            pooled_g, keep_g = mgt_list[gi]
+            m_loss = L.iou_mask_loss(masks[:, gi], pooled_g, keep=keep_g)
             info[f"{gname}_mask_loss"] = m_loss
             total = total + m_loss * float(self.conf.get_float("pc_weight.mask_weight", 1.0))
             cw = float(self.conf.get_float("pc_weight.def_consistent.weight", -1.0))
@@ -1308,7 +1333,16 @@ class GarmentOptimNetwork:
         host→device traffic ~4x and makes repeated visits free — at
         1080² over the axon tunnel the f32 uploads alone were ~0.3 s/step
         in r2."""
-        key = tuple(int(f) for f in np.asarray(frame_ids))
+        W, H = self.statics.image_size
+        radius_px = L.point_render_radius_px(self.cfg.point_radius, H, W)
+        gate = float(self.conf.get_float("pc_weight.occlusion_gate", -1.0)) > 0
+        # the pooled planes depend on the dilation radius and the gate
+        # flag — both change at hierarchy phase switches, so they are
+        # part of the cache key (r4's 512px quality run degraded after
+        # each phase switch because the IoU target kept the coarse
+        # phase's wider dilation: an equilibrium the finer splats can
+        # never reach, pushing verts outward)
+        key = (tuple(int(f) for f in np.asarray(frame_ids)), radius_px, gate)
         hit = self._batch_dev_cache.get(key)
         if hit is not None:
             return hit
@@ -1327,14 +1361,16 @@ class GarmentOptimNetwork:
         # channels-last with a KEEP plane (1=score, 0=body-occluded
         # garment don't-care — see losses.iou_mask_loss): (N, H, W, 2)
         # so the ('data','rays') image sharding still splits N and rows.
-        W, H = self.statics.image_size
-        radius_px = L.point_render_radius_px(self.cfg.point_radius, H, W)
+        # The gate is OFF unless pc_weight.occlusion_gate > 0: the
+        # reference's mask loss has no such gate
+        # (OptimGarmentNetwork.py:861-869), so reference parity is the
+        # default and the gate is an opt-in for body-occluded scenes.
         pool = self._pool_jit(radius_px)
         occ = out.get("body")
         for k in self._garment_mask_keys():
             if k in out:
                 pooled = pool(out[k])
-                if occ is not None:
+                if gate and occ is not None:
                     keep = jnp.maximum(pooled, 1.0 - occ.astype(jnp.float32))
                 else:
                     keep = jnp.ones_like(pooled)
@@ -1593,11 +1629,15 @@ class GarmentOptimNetwork:
                     fns["step"].lower(*args).compile()
                 return
             except Exception as e:  # remote-compile drop / OOM: degrade
+                if not _degradable_error(e):
+                    raise
                 import sys as _sys
                 _sys.stderr.write(f"[warm_start] fused step compile failed "
                                   f"({type(e).__name__}: {e}); falling back "
                                   f"to per-phase executables\n")
                 self._fused_ok = False
+
+        structural = []   # tracing/shape errors from worker threads → re-raise
 
         def compile_one(name, args):
             try:
@@ -1605,8 +1645,11 @@ class GarmentOptimNetwork:
                     fns[name].warm(*args)
                 else:
                     fns[name].lower(*args).compile()
-            except Exception as e:  # pragma: no cover — warmup is advisory
-                import sys
+            except Exception as e:
+                if not _degradable_error(e):
+                    structural.append((name, e))
+                    return
+                import sys   # pragma: no cover — infra warmup is advisory
                 sys.stderr.write(f"[warm_start] {name}: {e}\n")
 
         wave1 = [("pc", (gvs, gparams, frame_ids, gt_masks, r, counts,
@@ -1619,6 +1662,10 @@ class GarmentOptimNetwork:
         ths = [threading.Thread(target=compile_one, args=j) for j in wave1]
         [t.start() for t in ths]
         [t.join() for t in ths]
+        if structural:
+            name, err = structural[0]
+            raise RuntimeError(f"warm_start: structural error compiling "
+                               f"'{name}' phase") from err
 
         solved, _ = fns["rays"](gparams, frame_ids, gt_masks, r, key, gvs, fs_t)
         dct_w = float(self.conf.get_float("dct_weight", 0.0))
@@ -1711,6 +1758,8 @@ class GarmentOptimNetwork:
                     normals, counts, win_ids_f, r, key_f,
                     jnp.asarray(self._lr_scale, jnp.float32))
             except Exception as e:  # compile drop: degrade to split phases
+                if not _degradable_error(e):
+                    raise
                 import sys as _sys
                 _sys.stderr.write(f"[train_step] fused step failed "
                                   f"({type(e).__name__}: {e}); falling back "

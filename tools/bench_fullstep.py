@@ -256,12 +256,18 @@ def main(argv=None):
         except Exception:
             pass
     warm_runs = [w for w in warm_runs if w is not None] + [round(warm_start_s, 2)]
+    # quote the MEDIAN of the warm restarts (runs[1:]; run[0] built the
+    # cache) — r4 quoted the min of a 105–484 s spread, which hid
+    # recompiles (VERDICT r4 weak #7)
+    warm_quote = float(np.median(warm_runs[1:])) if len(warm_runs) > 1 \
+        else float(warm_runs[0])
 
     out = {
         "config": cfg_rec,
         "device": str(dev),
         "platform": dev.platform,
-        "warm_start_s": round(warm_start_s, 2),
+        "warm_start_s": round(warm_quote, 2),
+        "warm_start_last_s": round(warm_start_s, 2),
         "warm_start_runs_s": warm_runs,
         "first_step_s": round(first_step, 2),
         "sec_per_step": round(sec_per_step, 3),

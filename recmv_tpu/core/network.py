@@ -138,6 +138,14 @@ class TrainConfig:
     # StableHLO hash, sidestepping XLA's per-process-unstable cache keys.
     # None → env RECMV_EXEC_CACHE → disabled.
     exec_cache_dir: str | None = None
+    # Curve-branch AdamW lr. 1e-4 = the reference's AdamW(curve, 1e-4)
+    # (OptimGarmentNetwork.py:709-712), sized for its ~30k-step per-scene
+    # schedules. Compressed schedules (benches, smoke fits) should raise
+    # it: with the loop-smoothness regularizer dominating Adam's second
+    # moment until the curve smooths, the per-step radial motion at 1e-4
+    # is ~1e-6 — a 500-step fit leaves the curves essentially frozen
+    # (r5 diag: hemline mean-r unchanged to 4 decimals over 125 steps).
+    curve_lr: float = 1e-4
     # Garment vertex-capacity floor. Early-training meshes are small, so
     # pure grow-on-demand buckets start a power of 2 below steady state
     # and force a full step recompile (153 s over the axon tunnel, r3)
@@ -206,7 +214,7 @@ class GarmentOptimNetwork:
         lr = conf.get_float("train.learning_rate", 1e-4) if "train" in conf else 1e-4
         self.global_opt = optax.adam(lr)
         self.global_opt_state = None
-        self.curve_opt = optax.adamw(1e-4)
+        self.curve_opt = optax.adamw(self.cfg.curve_lr)
         self.curve_opt_state = None
         self.vert_opt = optax.sgd(0.05, momentum=0.9)
         self.vert_opt_state = None

@@ -51,6 +51,16 @@ def main(argv=None):
                          "synthetic-skirt = loose A-line skirt posed and "
                          "trained with fite diffused skinning weights "
                          "(BASELINE config #3)")
+    ap.add_argument("--occlusion-gate", action="store_true",
+                    help="enable pc_weight.occlusion_gate in every loss "
+                         "block (body-occluded garment pixels become IoU "
+                         "don't-cares; reference has no such gate — A/B "
+                         "knob, VERDICT r4 #4)")
+    ap.add_argument("--curve-lr", type=float, default=1e-3,
+                    help="curve AdamW lr for the bench's compressed "
+                         "schedule (the reference's 1e-4 is sized for "
+                         "~30k-step per-scene fits; at bench step counts "
+                         "it leaves the curves frozen)")
     ap.add_argument("--scene", default="/tmp/recmv_quality_scene")
     ap.add_argument("--out", default=osp.join(REPO, "bench_quality.json"))
     args = ap.parse_args(argv)
@@ -87,6 +97,10 @@ def main(argv=None):
         args.garment_type, "smoke.conf")
     conf = ConfigFactory.parse_file(
         osp.join(REPO, "configs", "synthetic", conf_name))
+    if args.occlusion_gate:
+        for ph in ("coarse", "medium", "fine"):
+            if f"loss_{ph}" in conf:
+                conf.put(f"loss_{ph}.pc_weight.occlusion_gate", 1.0)
     n_g = 2 if two else 1
     dataset, sampler = get_dataset_and_loader(
         scene, {"deformer": 256 * (1 + n_g) // 2, "render": 256}, 2, shuffle=True,
@@ -102,7 +116,8 @@ def main(argv=None):
         mc_capacity_v=1 << 14, mc_capacity_f=1 << 15,
         raster_tile=16 if small else 32,
         raster_cap_mesh=256, raster_cap_points=256,
-        points_per_pixel=8, solver_times=10, surface_sample=512)
+        points_per_pixel=8, solver_times=10, surface_sample=512,
+        curve_lr=args.curve_lr)
     res = ((9, 13, 7), (17, 25, 13), (33, 49, 25), (65, 97, 49))
     net = build_opt_net(conf, dataset, osp.join(scene, "result"),
                         resolutions=res, skinner_res=(33, 57, 17),
@@ -241,6 +256,20 @@ def main(argv=None):
     phase_at = ({int(args.steps * 0.4): "medium",
                  int(args.steps * 0.75): "fine"}
                 if args.steps >= 100 else {})
+    # The production radii (0.006→0.0041 NDC) are matched to production
+    # mesh density: at the fine pyramid the MC vertex spacing ≈ grid
+    # spacing ≈ 0.005 and radius ≈ 0.8×spacing, so splats tile the
+    # surface with no holes. At the bench pyramid the spacing is ~5x
+    # coarser — annealing the radius below ~0.8×spacing leaves the
+    # point-rendered mask full of holes the IoU can never fill, and its
+    # equilibrium distorts the geometry instead (r5 run A/B: fine-phase
+    # tube_mask_loss 0.038→0.384 with the posed trend degrading in
+    # lockstep). Clamp the annealed radius to the density floor.
+    from recmv_tpu.ops.seg3d import final_grid_spacing as _fgs
+    _spacing, _ = _fgs(net.seg3d_cfg)
+    radius_floor = 0.8 * float(np.mean(np.asarray(_spacing)))
+    print(f"[quality] splat radius floor {radius_floor:.4f} "
+          f"(grid spacing {np.asarray(_spacing).round(4).tolist()})", flush=True)
     t0 = time.time()
     import jax.random as jr
 
@@ -252,8 +281,9 @@ def main(argv=None):
             phase = phase_at.get(steps)
             if phase is not None and f"loss_{phase}" in conf:
                 net.conf.set_loss_block(conf.get_config(f"loss_{phase}"))
-                net.cfg.point_radius = conf.get_float(
-                    f"train.{phase}.point_render.radius")
+                net.cfg.point_radius = max(
+                    conf.get_float(f"train.{phase}.point_render.radius"),
+                    radius_floor)
                 net.cfg.remesh_intersect = conf.get_int(
                     f"train.{phase}.point_render.remesh_intersect")
                 net.isfine = phase == "fine"
@@ -389,7 +419,9 @@ def main(argv=None):
     out = {
         "config": {"image": args.image, "frames": args.frames,
                    "steps": args.steps, "init_epochs": args.init_epochs,
-                   "pyramid": list(res[-1])},
+                   "pyramid": list(res[-1]),
+                   "occlusion_gate": bool(args.occlusion_gate),
+                   "curve_lr": args.curve_lr},
         "device": str(dev), "platform": dev.platform,
         "pred_to_gt_dist_per_frame": [round(d, 6) for d in one_sided],
         "pred_to_gt_dist_mean": round(float(np.mean(one_sided)), 6),

@@ -50,7 +50,7 @@ TORSO_Y = (-0.32, 0.23)
 
 # Bump whenever the gt geometry above changes: ensure_scene() regenerates
 # stale cached scenes (and their result/ init caches) automatically.
-SCENE_VERSION = 3
+SCENE_VERSION = 4
 
 # Two-piece scene ("synthetic-two", TEMPLATE_GARMENT upper_tube+skirt):
 # the skirt (small offset) tucks UNDER the flared upper (large offset) in
@@ -169,6 +169,25 @@ def boundary_ring(y_level: float, n: int = 100,
     keep = np.ones(len(pts), bool)
     keep[1:] = d[:-1] > 1e-3
     return pts[keep]
+
+
+def _longest_circular_run(vis: np.ndarray) -> np.ndarray:
+    """Indices of the longest contiguous True run on a circular array —
+    the single arc a labelme annotator would trace. Returns them in ring
+    order so the linestrip is a connected polyline."""
+    n = len(vis)
+    if vis.all():
+        return np.arange(n)
+    if not vis.any():
+        return np.zeros(0, int)
+    v2 = np.concatenate([vis, vis])
+    best_len = best_start = cur = 0
+    for i in range(2 * n):
+        cur = cur + 1 if v2[i] else 0
+        start = i - cur + 1
+        if cur > best_len and start < n:
+            best_len, best_start = cur, start
+    return (best_start + np.arange(min(best_len, n))) % n
 
 
 def make_camera_params(image_size: int):
@@ -297,17 +316,35 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
         # pre-fill the knn-propagated cache (identical here: parsing covers mask)
         np.save(osp.join(out_dir, f"parsing_SCH_ATR/mask_parsing_{fid}.npy"), parsing)
 
-        # feature lines: project posed rings
+        # feature lines: project posed rings — VISIBLE ARC ONLY.  The
+        # reference's featurelines are labelme annotations of the arc a
+        # human can SEE in the frame (dataset/dataset.py:301-339 reads
+        # the linestrip verbatim; engineer/core/fl_optimizer.py:72-110
+        # and project_2d_loss treat gt points as fully trustworthy).
+        # Annotating the occluded back half biases every consumer
+        # outward: the gt→pred chamfer term drags the visible curve arc
+        # to span the FULL ring's projected extent, inflating the fitted
+        # curve radius (r5: bottom_curve settled at r=0.174 vs gt 0.148).
+        zbuf0 = np.asarray(frag.zbuf[..., 0])
         shapes = []
         for name, ring in rings:
             posed_ring = np.asarray(
                 skinner_apply(sk, jnp.asarray(ring)[None], jnp.asarray(pose)[None],
                               jnp.zeros((1, 3)))
             )[0]
-            pix = np.asarray(cam_mod.project(cam, jnp.asarray(posed_ring)))
-            # visible-ish half only would complicate; annotate full ring
+            scr_ring = np.asarray(
+                screen_with_cam_z(cam, jnp.asarray(posed_ring)[None]))[0]
+            xi = np.clip(np.round(scr_ring[:, 0]).astype(int), 0, W - 1)
+            yi = np.clip(np.round(scr_ring[:, 1]).astype(int), 0, H - 1)
+            zb = zbuf0[yi, xi]
+            # on-surface ring points rasterize to their own garment faces
+            # (depth equal); occluded ones sit behind the front surface
+            vis = (zb < 0) | (scr_ring[:, 2] <= zb + 0.01)
+            idx = _longest_circular_run(vis)
+            if len(idx) < 3:
+                continue   # fully occluded this frame → loader masks it out
             shapes.append({"label": name, "shape_type": "linestrip",
-                           "points": pix.tolist()})
+                           "points": scr_ring[idx, :2].tolist()})
         with open(osp.join(out_dir, f"featurelines/{fid}.json"), "w") as f:
             json.dump({"shapes": shapes}, f)
 

@@ -29,6 +29,24 @@ class TestSyntheticScene:
         assert os.path.isfile(os.path.join(scene, "camera.npz"))
         assert len(os.listdir(os.path.join(scene, "imgs"))) == 6
 
+    def test_feature_lines_visible_arc_only(self, scene):
+        """The generator must annotate only the VISIBLE arc of each gt
+        ring (the reference's featurelines are labelme traces of what the
+        annotator can see). A full-ring annotation (old SCENE_VERSION<4
+        behavior) biases the projection chamfer outward: the gt→pred term
+        drags the visible curve to span the whole ring's extent."""
+        import json as _json
+
+        for fid in range(6):
+            with open(os.path.join(scene, "featurelines", f"{fid}.json")) as f:
+                shapes = _json.load(f)["shapes"]
+            for s in shapes:
+                # boundary_ring samples 100 pts; self-occlusion hides the
+                # back of the tube in EVERY view, so a visible arc is
+                # always a strict subset
+                assert 3 <= len(s["points"]) < 80, (fid, s["label"],
+                                                    len(s["points"]))
+
     def test_masks_nonempty_and_rotating(self, scene):
         import cv2
 

@@ -128,7 +128,7 @@ def main(argv=None):
         net.load_checkpoint(init_ckpt)
     else:
         net.initialize_tmp_sdf(nepochs=args.init_epochs, save_dir=None,
-                               fl_iters=40)
+                               fl_iters=150)
         net.save_checkpoint(init_ckpt, 0)
     t_init = time.time() - t0
 

@@ -767,6 +767,13 @@ class GarmentOptimNetwork:
         poses = scene["poses"][frame_ids]
         trans = scene["trans"][frame_ids]
         method = self.conf.get_string("fl_visible_method", "zbuff")
+        # ZBUF_THRESHOLD is tuned for real SMPL bodies (~0.25 m chest
+        # depth); scenes with thinner bodies (synthetic humanoid: ~0.08 m)
+        # need a smaller gate or back-of-ring points leak through as
+        # "visible" and the 2D chamfer collapses the ring inward
+        # (measured: back dz 0.099 vs the 0.1 neck threshold).
+        thr_scale = float(self.conf.get_float(
+            "fl_weight.zbuf_threshold_scale", 1.0))
         need_body = method in ("zbuff", "zbuff_and")
         need_garment = (method in ("garment_zbuff", "zbuff_and")
                         and garment_vs_t is not None)
@@ -819,13 +826,13 @@ class GarmentOptimNetwork:
                     scr_smpl = screen_with_cam_z(cam, def_smpl)
                     surf_z = sample_zbuf(zbuf, scr_smpl, self.statics.image_size)
                     body_vis = zbuf_visible(scr_smpl[..., 2], surf_z,
-                                            ZBUF_THRESHOLD[cname])
+                                            ZBUF_THRESHOLD[cname] * thr_scale)
                 if need_garment:
                     scr_ng = jax.lax.stop_gradient(scr)
                     surf_zg = sample_zbuf(g_zbuf, scr_ng,
                                           self.statics.image_size)
                     garment_vis = zbuf_visible(scr_ng[..., 2], surf_zg,
-                                               ZBUF_THRESHOLD[cname])
+                                               ZBUF_THRESHOLD[cname] * thr_scale)
                 if method in ("surface", "sdf"):
                     if method == "surface":
                         nrm = outward_curve_normals(cv)
@@ -1415,8 +1422,16 @@ class GarmentOptimNetwork:
             return self.fl_branch_loss(gp, cp, fids, fl_pts, fl_masks, r,
                                        vs_t, fs_t)
 
+        # The curve branch trains ONLY the curve parameters: the reference
+        # steps fl_optimizer (AdamW over inter_free_curve alone,
+        # OptimGarmentNetwork.py:712,1860-1864) and immediately wipes the
+        # backward's gradients from every global param with
+        # global_optimizer.zero_grad() (:1934). Feeding g_fl into the
+        # global update (r2-r4) let the SDF-anchor term (10*60 effective
+        # weight, :1862) drag the garment SDF toward the curves — measured
+        # as the 250-500-step chamfer degradation in bench_quality_512.
         cache["fl"] = _wrap("fl", jax.jit(
-            jax.value_and_grad(fl_fn, argnums=(0, 1), has_aux=True)))
+            jax.value_and_grad(fl_fn, argnums=1, has_aux=True)))
 
         def pc_fn(vs_t, gp, fids, gt_masks, r, counts, gt_pooled=None):
             loss, (info, _, def_vs) = self.pc_branch_loss(
@@ -1449,14 +1464,12 @@ class GarmentOptimNetwork:
         cache["main"] = _wrap("main", jax.jit(
             jax.value_and_grad(main_fn, has_aux=True)))
 
-        def update_fn(g_fl, g_pc, g_main, gparams, opt_state, lr_scale):
-            grads = jax.tree_util.tree_map(lambda a, b, c: a + b + c,
-                                           g_fl, g_pc, g_main)
+        def update_fn(g_pc, g_main, gparams, opt_state, lr_scale):
+            grads = jax.tree_util.tree_map(lambda b, c: b + c, g_pc, g_main)
             grads = self._apply_trainable_mask(grads)
             grads = jax.tree_util.tree_map(lambda g: g * lr_scale, grads)
             up, opt_state = self.global_opt.update(grads, opt_state, gparams)
-            norms = {"gnorm_fl": optax.global_norm(g_fl),
-                     "gnorm_pc": optax.global_norm(g_pc),
+            norms = {"gnorm_pc": optax.global_norm(g_pc),
                      "gnorm_main": optax.global_norm(g_main)}
             return optax.apply_updates(gparams, up), opt_state, norms
 
@@ -1494,14 +1507,14 @@ class GarmentOptimNetwork:
                     normals, counts, win_ids, r, key, lr_scale):
             info = {}
             if has_curves:
-                (fl_loss, info_fl), (g_fl, g_cur) = jax.value_and_grad(
-                    fl_fn, argnums=(0, 1), has_aux=True)(
+                (fl_loss, info_fl), g_cur = jax.value_and_grad(
+                    fl_fn, argnums=1, has_aux=True)(
                         gp, cp, fids, fl_pts, fl_masks, r, gvs_in, fs_in)
                 new_cp, cur_st = curve_update_fn(g_cur, cp, cur_st)
                 info.update(info_fl)
                 info["fl_loss_total"] = fl_loss
+                info["gnorm_fl"] = optax.global_norm(g_cur)
             else:
-                g_fl = jax.tree_util.tree_map(jnp.zeros_like, gp)
                 new_cp = cp
 
             (pc_loss, (info_pc, pc_def_vs)), (g_verts, g_pc) = jax.value_and_grad(
@@ -1529,7 +1542,7 @@ class GarmentOptimNetwork:
                     counts, win_ids, r, key)
             info.update(info_m)
 
-            new_gp, glob_st, gnorms = update_fn(g_fl, g_pc, g_main, gp,
+            new_gp, glob_st, gnorms = update_fn(g_pc, g_main, gp,
                                                 glob_st, lr_scale)
             info.update(gnorms)
             info["m_loss_total"] = m_loss
@@ -1686,7 +1699,7 @@ class GarmentOptimNetwork:
         wave2 = [("main", (gparams, self.params["curves"], solved, frame_ids,
                            dev["img"], dev.get("normal"), gvs, counts,
                            win_ids, r, key)),
-                 ("update", (g0, g0, g0, gparams, self.global_opt_state,
+                 ("update", (g0, g0, gparams, self.global_opt_state,
                              jnp.asarray(1.0, jnp.float32))),
                  ("vert_update", (gv0, gvs, self.vert_opt_state, counts))]
         if not self.large_pose and self.params.get("curves"):
@@ -1802,16 +1815,15 @@ class GarmentOptimNetwork:
         # ① curve branch (zeroed in the large-pose stage — the reference
         # multiplies both curve losses by 0, Large_Pose.py:219)
         if not self.large_pose:
-            (fl_loss, fl_info), (g_fl_global, g_fl_curve) = fns["fl"](
+            (fl_loss, fl_info), g_fl_curve = fns["fl"](
                 gparams, self.params["curves"], frame_ids, fl_pts, fl_masks, r,
                 gvs, fs_t)
             self.params["curves"], self.curve_opt_state = fns["curve_update"](
                 g_fl_curve, self.params["curves"], self.curve_opt_state)
             pending.update(fl_info)
             pending["fl_loss_total"] = fl_loss
+            pending["gnorm_fl"] = optax.global_norm(g_fl_curve)
             _sync(fl_loss)
-        else:
-            g_fl_global = jax.tree_util.tree_map(jnp.zeros_like, gparams)
         self.info["t_fl"] = _time.time() - _t0; _t0 = _time.time()
 
         # ② mask branch
@@ -1851,7 +1863,7 @@ class GarmentOptimNetwork:
 
         # ④ combine and update globals (grad accumulation parity)
         gparams, self.global_opt_state, gnorms = fns["update"](
-            g_fl_global, g_pc_global, g_main, gparams, self.global_opt_state,
+            g_pc_global, g_main, gparams, self.global_opt_state,
             jnp.asarray(self._lr_scale, jnp.float32))
         self._write_back(gparams)
         pending.update(gnorms)

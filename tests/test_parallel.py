@@ -119,11 +119,20 @@ class TestTrainStepParity:
         net.set_parallel(None)
 
         assert np.isfinite(loss1) and np.isfinite(loss2)
-        assert abs(loss1 - loss2) <= 1e-3 * max(abs(loss1), 1.0), (loss1, loss2)
-        for k in ("fl_loss_total", "pc_loss_total"):
-            assert abs(info1[k] - info2[k]) <= 2e-3 * max(abs(info1[k]), 1.0), (
+        # fl and pc branches are deterministic given inputs — GSPMD must
+        # reproduce them to reduction-order noise (measured ≤ 2e-7 rel).
+        for k in ("fl_loss_total", "pc_loss_total", "tube_project_loss",
+                  "tube_mask_loss"):
+            assert abs(info1[k] - info2[k]) <= 1e-4 * max(abs(info1[k]), 1.0), (
                 k, info1[k], info2[k])
-        # ray machinery converged identically
+        # The ray branch is convergence-gated: the surface solver's
+        # |sdf|+angle acceptance sits on an f32 boundary for marginal
+        # rays, so sharded reduction order can flip a ray in or out
+        # (measured: rayConv 20 vs 19 → 0.4% m_loss shift). Allow a
+        # few flipped rays, not a broken all-reduce.
         for k, v in info1.items():
+            if k.endswith("_rayConv"):
+                assert abs(info2[k] - v) <= max(2, 0.1 * v), (k, v, info2[k])
             if k.endswith("_rayBudget"):
                 assert info2[k] == v
+        assert abs(loss1 - loss2) <= 2e-2 * max(abs(loss1), 1.0), (loss1, loss2)

@@ -76,7 +76,7 @@ def main(argv=None):
     conf = ConfigFactory.parse_file(
         osp.join(REPO, "configs", "synthetic", "smoke.conf"))
     dataset, _ = get_dataset_and_loader(
-        scene, {"deformer": 512, "render": 256}, 1, shuffle=False,
+        scene, {"deformer": 256, "render": 256}, 1, shuffle=False,
         garment_type="synthetic-tube", data_type="synthe")
     resolutions = resolution_pyramids(args.quality)
     Wg, Hg, Dg = resolutions[-1]

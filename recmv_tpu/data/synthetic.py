@@ -50,7 +50,7 @@ TORSO_Y = (-0.32, 0.23)
 
 # Bump whenever the gt geometry above changes: ensure_scene() regenerates
 # stale cached scenes (and their result/ init caches) automatically.
-SCENE_VERSION = 4
+SCENE_VERSION = 6
 
 # Two-piece scene ("synthetic-two", TEMPLATE_GARMENT upper_tube+skirt):
 # the skirt (small offset) tucks UNDER the flared upper (large offset) in
@@ -339,10 +339,26 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
             zb = zbuf0[yi, xi]
             # on-surface ring points rasterize to their own garment faces
             # (depth equal); occluded ones sit behind the front surface
-            vis = (zb < 0) | (scr_ring[:, 2] <= zb + 0.01)
+            # 0.03 tolerance: at grazing view angles (the camera sits at
+            # ring height, so rings project nearly edge-on) the pixel's
+            # z-buffer comes from a steeply-sloped side wall and a 0.01
+            # test truncates the arc's silhouette ends that a human
+            # annotator would trace; 0.03 keeps them while still
+            # excluding the occluded back (body depth ≥0.08, garment
+            # chord ≥0.24 behind the front surface).
+            vis = (zb < 0) | (scr_ring[:, 2] <= zb + 0.03)
             idx = _longest_circular_run(vis)
-            if len(idx) < 3:
-                continue   # fully occluded this frame → loader masks it out
+            # Annotator frame selection: REC-MV's featurelines are sparse
+            # labelme keyframes — the annotator skips frames where the
+            # curve is badly occluded (an arm across the neckline), and
+            # the init fit runs on fl_supervised frames only
+            # (dataset.py:97-107). Emitting a badly-truncated arc poisons
+            # the scale fit: the visibility gate can't know the arc was
+            # arm-truncated, so its extra "visible" points drag the fit
+            # inward (measured: neck fitted to r 0.11 vs gt 0.14 with two
+            # 21-point arcs in the batch; clean frames fit to <5 px).
+            if len(idx) < max(3, int(0.3 * len(vis))):
+                continue   # occluded this frame → loader masks it out
             shapes.append({"label": name, "shape_type": "linestrip",
                            "points": scr_ring[idx, :2].tolist()})
         with open(osp.join(out_dir, f"featurelines/{fid}.json"), "w") as f:

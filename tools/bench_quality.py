@@ -243,8 +243,13 @@ def main(argv=None):
     trend = {0: mc_pred_to_gt()}
     trend_fresh = {0: mc_fresh_to_gt()}
     canonical_diag(0)
-    probe_at = sorted({args.steps // 4, args.steps // 2,
-                       3 * args.steps // 4} - {0})
+    # probe every 10% plus just-before/after the phase switches (40%/75%)
+    # — the r5 run-E trend degraded exactly across the medium switch and
+    # quarter-resolution sampling couldn't localize it
+    probe_at = sorted(({args.steps * k // 10 for k in range(1, 10)}
+                       | {int(args.steps * 0.4) - 1, int(args.steps * 0.4) + 50,
+                          int(args.steps * 0.75) - 1, int(args.steps * 0.75) + 50})
+                      - {0})
     # coarse→medium→fine hierarchy at step fractions (train.py:178-190
     # parity — the bench has no epoch axis, so phases switch at 40%/75%;
     # splat radius anneals 0.02→0.012→0.008 so the coarse phase's wide

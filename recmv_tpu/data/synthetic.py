@@ -50,7 +50,7 @@ TORSO_Y = (-0.32, 0.23)
 
 # Bump whenever the gt geometry above changes: ensure_scene() regenerates
 # stale cached scenes (and their result/ init caches) automatically.
-SCENE_VERSION = 6
+SCENE_VERSION = 7
 
 # Two-piece scene ("synthetic-two", TEMPLATE_GARMENT upper_tube+skirt):
 # the skirt (small offset) tucks UNDER the flared upper (large offset) in
@@ -59,6 +59,13 @@ SCENE_VERSION = 6
 UPPER2_OFFSET = 0.045
 UPPER2_Y = (-0.32, 0.23)
 SKIRT_OFFSET = 0.025
+# A-line flare for the two-piece scene's skirt: without it the "skirt"
+# was a body-offset at shin height = TWO leg tubes, and the hem
+# boundary-ring sphere trace diverges between the legs (measured r up to
+# 8266 in the gt annotation — a garbage hem featureline that poisoned
+# the bottom_curve fit). 0.2/m merges the legs into one hem ring
+# (r 0.15-0.28) and makes the lower piece an actual skirt.
+SKIRT_FLARE = 0.2
 SKIRT_Y = (-0.68, -0.26)
 
 # Loose A-line skirt scene ("synthetic-skirt" — BASELINE config #3's
@@ -87,7 +94,7 @@ def _flare_offset(offset, y, band_top):
 SCENE_GARMENTS = {
     "synthetic-tube": [("tube", GARMENT_OFFSET, TORSO_Y, 4)],
     "synthetic-two": [("upper_tube", UPPER2_OFFSET, UPPER2_Y, 4),
-                      ("skirt", SKIRT_OFFSET, SKIRT_Y, 5)],
+                      ("skirt", (SKIRT_OFFSET, SKIRT_FLARE), SKIRT_Y, 5)],
     "synthetic-skirt": [("skirt", (LOOSE_SKIRT_OFFSET, LOOSE_SKIRT_FLARE),
                          LOOSE_SKIRT_Y, 5)],
 }
@@ -97,7 +104,9 @@ SCENE_CURVES = {
                        ("bottom_curve", TORSO_Y[0] + 0.01, GARMENT_OFFSET)],
     "synthetic-two": [("neck", UPPER2_Y[1] - 0.01, UPPER2_OFFSET),
                       ("upper_bottom", UPPER2_Y[0] + 0.01, UPPER2_OFFSET),
-                      ("bottom_curve", SKIRT_Y[0] + 0.01, SKIRT_OFFSET)],
+                      ("bottom_curve", SKIRT_Y[0] + 0.01,
+                       _flare_offset((SKIRT_OFFSET, SKIRT_FLARE),
+                                     SKIRT_Y[0] + 0.01, SKIRT_Y[1]))],
     "synthetic-skirt": [
         ("upper_bottom", LOOSE_SKIRT_Y[1] - 0.01,
          _flare_offset((LOOSE_SKIRT_OFFSET, LOOSE_SKIRT_FLARE),
@@ -216,11 +225,14 @@ def generate_scene(out_dir: str, n_frames: int = 10, image_size: int = 256,
     sk, body_verts, body_faces = initial_lbs_skinner(
         body, jnp.zeros(10), pose0, resolution=skinner_res
     )
-    if garment_type == "synthetic-skirt":
+    if garment_type in ("synthetic-skirt", "synthetic-two"):
         # fite-style diffused skinning: smooth the (24, D, H, W) weight
         # field spatially and renormalize, pose the gt with it, and ship
         # it so the builder's fite path (core/builder.py:99) trains with
-        # the SAME weights the gt was posed with.
+        # the SAME weights the gt was posed with. The two-piece scene
+        # needs it for the same reason the loose skirt does: its A-line
+        # hem crosses the midline between the legs, where raw body-KNN
+        # voxel weights flip legs and tear the hem.
         import scipy.ndimage as ndi
 
         w = np.asarray(sk.ws, np.float32)

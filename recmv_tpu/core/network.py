@@ -2089,17 +2089,27 @@ class GarmentOptimNetwork:
         vis0 = jax.lax.stop_gradient(frozen_vis(T, s))
 
         # both stages as single jitted scans (one dispatch each instead
-        # of n_iters round trips over the axon tunnel)
+        # of n_iters round trips over the axon tunnel).
+        # Stage 1 fits T AND s jointly — the reference's "rigid_T stage"
+        # runs Adam([rigid_T, rigid_scale], lr=5e-3) for ~150 steps
+        # (fl_optimizer.py:149,216-270); only stage 2 is scale-only. A
+        # T-only stage 1 leaves the INI_FL_SCALE prior to the short stage
+        # 2, which cannot travel (Adam ≈ lr/step ⇒ ≤0.15 scale units in
+        # 30 steps) — measured +14–20% inflated rings at init on the
+        # synthetic 512px scene, which the fl branch then propagates into
+        # the garment SDF through the hemline curve_aware term.
         @partial(jax.jit, static_argnames=("n",))
         def fitT(T, s, vis, n):
             def step(carry, _):
-                T, st = carry
-                g = jax.grad(proj_loss, argnums=0)(T, s, vis)
-                u, st = optT.update(g, st, T)
-                return (optax.apply_updates(T, u), st), None
+                (T, s), st = carry
+                g = jax.grad(proj_loss, argnums=(0, 1))(T, s, vis)
+                u, st = optT.update(g, st, (T, s))
+                T, s = optax.apply_updates((T, s), u)
+                return ((T, jnp.clip(s, 0.3, 3.0)), st), None
 
-            (T, _), _ = jax.lax.scan(step, (T, optT.init(T)), None, length=n)
-            return T
+            ((T, s), _), _ = jax.lax.scan(
+                step, ((T, s), optT.init((T, s))), None, length=n)
+            return T, s
 
         @partial(jax.jit, static_argnames=("n",))
         def fitS(s, T, vis, n):
@@ -2116,12 +2126,12 @@ class GarmentOptimNetwork:
             (s, _), _ = jax.lax.scan(step, (s, optS.init(s)), None, length=n)
             return s
 
-        T = fitT(T, s, vis0, n_iters)
-        # the reference runs the scale stage an order of magnitude shorter
-        # than the translation stage (S_epoch capped at 10 vs T_epoch 150,
-        # fl_optimizer.py:255-256) — the INI_FL_SCALE prior is trusted and
-        # the scale only nudges; long scale fits exploit the one-sided
-        # visible-vs-annotated mismatch at the arc ends and shrink rings.
+        T, s = fitT(T, s, vis0, n_iters)
+        # the scale-only refinement stage is an order of magnitude shorter
+        # than stage 1 (S_epoch capped at 10 vs T_epoch 150,
+        # fl_optimizer.py:123-124) — long scale-only fits exploit the
+        # one-sided visible-vs-annotated mismatch at the arc ends and
+        # shrink rings (observed r2–r5).
         s = fitS(s, T, vis0, max(n_iters // 5, 10))
 
         if cache_path:

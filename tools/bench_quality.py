@@ -56,11 +56,18 @@ def main(argv=None):
                          "block (body-occluded garment pixels become IoU "
                          "don't-cares; reference has no such gate — A/B "
                          "knob, VERDICT r4 #4)")
-    ap.add_argument("--curve-lr", type=float, default=1e-3,
-                    help="curve AdamW lr for the bench's compressed "
-                         "schedule (the reference's 1e-4 is sized for "
-                         "~30k-step per-scene fits; at bench step counts "
-                         "it leaves the curves frozen)")
+    ap.add_argument("--curve-lr", type=float, default=1e-4,
+                    help="curve AdamW lr (reference: AdamW 1e-4, "
+                         "OptimGarmentNetwork.py:712). 1e-3 was used in "
+                         "r4/r5 to unfreeze badly-initialized curves, but "
+                         "Adam's per-param steps at 1e-3 random-walk the "
+                         "200-point rings jagged (σ≈lr·√steps ≈ 3 mm "
+                         "point-to-point), and the direction-smoothness "
+                         "regularizer's oscillating gradients then dominate "
+                         "the second moment, stalling the consistent "
+                         "inward sdf pull ~7x (measured r5). With the "
+                         "joint-T+s init fix the curves start near gt and "
+                         "1e-4 holds them smooth.")
     ap.add_argument("--scene", default="/tmp/recmv_quality_scene")
     ap.add_argument("--out", default=osp.join(REPO, "bench_quality.json"))
     args = ap.parse_args(argv)

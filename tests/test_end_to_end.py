@@ -26,6 +26,36 @@ class TestEndToEndSmoke:
         assert meshes[0][2] > 50   # body has a surface
         assert meshes[1][2] > 20   # garment has a surface
 
+    def test_initialize_fl_fits_scale_jointly(self, tiny_scene_net):
+        """Stage 1 of the curve init must fit T AND s jointly (the
+        reference's Adam([rigid_T, rigid_scale], fl_optimizer.py:149));
+        with a T-only stage 1 the scale can only travel the short stage-2
+        budget (n/5 Adam steps x 5e-3 ~ 0.06) and the rings start
+        +14-20% inflated (measured r5, 512px scene). Discriminator: the
+        fitted s must move further from the INI_FL_SCALE prior than the
+        stage-2-only budget allows."""
+        import numpy as np
+
+        from recmv_tpu.config.constants import INI_FL_SCALE
+        from recmv_tpu.models.garment import garment_templates_from_body
+
+        net, dataset, ckpt = tiny_scene_net
+        net.load_checkpoint(ckpt)
+        joints = np.asarray(net.params["skinner"].Js)
+        templates = garment_templates_from_body(
+            net.statics.garment_names, np.asarray(net.tmp_body_vs),
+            np.asarray(net.tmp_body_fs), joints, None)
+        template_curves = {}
+        for t in templates:
+            for name, curve in t.dense_boundary(2).extract_featurelines().items():
+                template_curves.setdefault(name, curve)
+        rigid, aligned, fl_names = net.initialize_fl(
+            template_curves, n_iters=60, cache_path=None)
+        moved = [abs(float(rigid[n][1]) - INI_FL_SCALE.get(n, 1.5))
+                 for n in fl_names]
+        # stage-2-only budget at n_iters=60: 12 Adam steps x lr 5e-3 = 0.06
+        assert max(moved) > 0.08, f"scale barely moved from prior: {moved}"
+
     def test_two_train_steps_finite(self, tiny_scene_net):
         import jax.random as jrandom
 

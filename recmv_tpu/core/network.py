@@ -2076,7 +2076,21 @@ class GarmentOptimNetwork:
                 m_pg = jnp.min(jnp.where(v[:, :, None], d2, big), axis=1)
                 m_gp = jnp.min(d2, axis=2)
                 anyv = jnp.any(v, axis=1)
-                cham = (L.masked_mean(m_gp, v, axis=1)
+                # Trimmed pred→gt: the frozen body-zbuf gate admits more
+                # of the ring than the human-annotated arc covers (side/
+                # back points near the silhouette), and chamfer-matching
+                # those to the arc's ENDPOINTS is a pure shrink force —
+                # the fit's fixed point sits 15–19% under gt with it
+                # (measured, synthetic tube hem). Points beyond 2× the
+                # median distance are exactly that population; the
+                # self-scaling cap keeps the term active while the ring
+                # is uniformly far (prior misfit) and trims only the
+                # asymmetric tail.
+                cap = 4.0 * jax.lax.stop_gradient(
+                    jnp.nanmedian(jnp.where(v, m_gp, jnp.nan),
+                                  axis=1, keepdims=True))
+                vtrim = v & (m_gp <= jnp.where(jnp.isnan(cap), big, cap))
+                cham = (L.masked_mean(m_gp, vtrim, axis=1)
                         + jnp.where(anyv, jnp.mean(m_pg, axis=1), 0.0))
                 loss = loss + jnp.sum(jnp.where(anyv, cham, 0.0)) / jnp.clip(
                     jnp.sum(anyv), 1.0, None)
@@ -2084,6 +2098,57 @@ class GarmentOptimNetwork:
 
         T = jnp.zeros((C, 3))
         s = jnp.asarray([INI_FL_SCALE.get(n, 1.5) for n in fl_names], jnp.float32)
+
+        # Closed-form scale pre-alignment: when a template ring starts far
+        # from the annotation in BOTH height and radius (SMPL-sliced skirt
+        # templates end mid-thigh while the gt hem sits at the ankle), the
+        # joint Adam fit below translates correctly but COLLAPSES the
+        # scale on the way — while the ring is at the wrong height the 2D
+        # chamfer to the partial gt arc is minimized by shrinking toward
+        # the arc centroid, and the 150-iter budget (Adam travel
+        # ≈ lr·iters = 0.75 scale units) can't recover it (measured on
+        # the synthetic two-garment scene: s 2.0 → 1.195 vs needed ~2.05).
+        # The silhouette WIDTH of a ring is scale-equivariant and height-
+        # robust, so the ratio of x-extents (gt arc vs projected template
+        # curve) is a direct estimate of the missing scale factor.
+        def _extent_scale(T0, s0):
+            aligned = (curves0 - centers) * s0[:, None, None] + centers \
+                + T0[:, None, :]
+            flat = aligned.reshape(1, -1, 3)
+            posed = skinner_apply(self.params["skinner"],
+                                  jnp.broadcast_to(flat, (N, C * S, 3)),
+                                  poses, trans)
+            scr = screen_with_cam_z(cam, posed)
+            mults = []
+            for ci, name in enumerate(fl_names):
+                col = name_to_col[name]
+                px = scr[:, ci * S:(ci + 1) * S, 0]         # (N, S)
+                ext_p = jnp.ptp(px, axis=1)                  # (N,)
+                ext_g = jnp.ptp(fl_pts[:, col, :, 0], axis=1)
+                ok = fl_masks[:, col] & (ext_p > 1.0) & (ext_g > 1.0)
+                ratio = jnp.where(ok, ext_g / jnp.clip(ext_p, 1.0, None), 1.0)
+                # median over supervised frames, robust to bad arcs
+                med = jnp.nanmedian(jnp.where(ok, ratio, jnp.nan), axis=0)
+                med = jnp.where(jnp.isnan(med), 1.0, med)
+                # UPWARD rescues only. Downward: the Adam fit can travel
+                # down on its own, and the fit's fixed point sits 15-19%
+                # BELOW gt anyway (the frozen body-zbuf gate admits
+                # off-silhouette back-arc points whose projection matches
+                # the annotation best at a smaller radius — loss-shape
+                # bias, measured by s-sweep: min at s 1.26 vs gt 1.54);
+                # a downward pre-scale just converges faster to that
+                # biased minimum, while the reference-shaped 150-iter
+                # fit from the INI_FL_SCALE prior stops closer to gt.
+                # Upward (skirt hem: ratio ≈ 2): the fit CANNOT travel
+                # there in budget and the closed-form estimate is the
+                # rescue.
+                med = jnp.where(med > 1.3, med, 1.0)
+                mults.append(jnp.clip(med, 0.5, 2.5))
+            return jnp.asarray(mults)
+
+        mult = _extent_scale(T, s)
+        rescued = jnp.abs(mult - 1.0) > 1e-6          # (C,) bool
+        s = jnp.clip(s * mult, 0.3, 3.0)
         optT = optax.adam(lr)
         optS = optax.adam(lr)
         vis0 = jax.lax.stop_gradient(frozen_vis(T, s))
@@ -2126,13 +2191,51 @@ class GarmentOptimNetwork:
             (s, _), _ = jax.lax.scan(step, (s, optS.init(s)), None, length=n)
             return s
 
-        T, s = fitT(T, s, vis0, n_iters)
+        @partial(jax.jit, static_argnames=("n",))
+        def fitTonly(T, s, vis, n):
+            def step(carry, _):
+                T, st = carry
+                g = jax.grad(proj_loss, argnums=0)(T, s, vis)
+                u, st = optT.update(g, st, T)
+                return (optax.apply_updates(T, u), st), None
+
+            (T, _), _ = jax.lax.scan(step, (T, optT.init(T)), None, length=n)
+            return T
+
+        # RESCUED curves only (pre-scale fired → the template ring was
+        # far off in extent, typically also in height):
+        # 1. T-only warmup at the pre-aligned scale — brings a ring that
+        #    starts at the wrong HEIGHT to the annotation before the
+        #    scale may move (the joint fit's scale gradient is only
+        #    meaningful once the heights roughly agree);
+        # 2. re-freeze the visibility gate at the warmed-up pose — the
+        #    gate stays frozen through the fit (reference parity;
+        #    per-iter recompute is the collapse feedback loop,
+        #    fl_optimizer.py:244-249), but a gate probed 16 cm from
+        #    where the ring now sits keeps a stale visible subset and
+        #    the joint chamfer shrinks the ring onto it (measured:
+        #    skirt hem s 2.0 → 0.84 stale, ~1.6 re-frozen).
+        # Non-rescued curves keep the reference path untouched — warming
+        # T for an already-close ring re-orders the joint fit's
+        # transient and measurably worsens its equilibrium (tube hem
+        # −12% → −19%).
+        if bool(jnp.any(rescued)):
+            rm = rescued[:, None].astype(jnp.float32)
+            T_w = fitTonly(T, s, vis0, max(n_iters // 3, 10))
+            T = jnp.where(rm > 0, T_w, T)
+            vis1 = jax.lax.stop_gradient(frozen_vis(T, s))
+            v0 = vis0.reshape(N, C, S)
+            v1 = vis1.reshape(N, C, S)
+            vis1 = jnp.where(rescued[None, :, None], v1, v0).reshape(N, C * S)
+        else:
+            vis1 = vis0
+        T, s = fitT(T, s, vis1, n_iters)
         # the scale-only refinement stage is an order of magnitude shorter
         # than stage 1 (S_epoch capped at 10 vs T_epoch 150,
         # fl_optimizer.py:123-124) — long scale-only fits exploit the
         # one-sided visible-vs-annotated mismatch at the arc ends and
         # shrink rings (observed r2–r5).
-        s = fitS(s, T, vis0, max(n_iters // 5, 10))
+        s = fitS(s, T, vis1, max(n_iters // 5, 10))
 
         if cache_path:
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)

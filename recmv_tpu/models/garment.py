@@ -294,8 +294,19 @@ def procedural_template(garment_name: str, body_verts: np.ndarray,
         keep &= ~((np.abs(x) > abs(elb_l[0])) & (y > hip_y))
         curve_y = {"neck": neck_y, "bottom_curve": knee_y}
     elif garment_name == "skirt":
-        keep = (y > knee_y) & (y < hip_y + 0.05) & (np.abs(x) < abs(sho_l[0]))
-        curve_y = {"upper_bottom": hip_y + 0.04, "bottom_curve": knee_y}
+        # A skirt is a CONE around both legs, not a body slice: slicing
+        # knee→hip keeps two leg tubes + crotch, and the knee boundary
+        # loop undulates down one leg and up the other (measured y-spread
+        # 0.32 on the synthetic two-garment scene). The curve init then
+        # scales that undulation with the ring and the 2D chamfer
+        # COLLAPSES the scale to flatten it (hem s 2.0 → 0.8, r 0.09 vs
+        # gt 0.225). The swept surface makes the hull-of-both-legs
+        # surface with two planar rings — the same shape DeepFashion3D
+        # skirt templates have (the reference's skirt path,
+        # OptimGarmentNetwork.py:196-384, loads DF3D assets).
+        return _swept_tube_template(garment_name, v, knee_y, hip_y + 0.05,
+                                    "upper_bottom", "bottom_curve",
+                                    sho_l[0])
     elif garment_name in ("long_pants",):
         keep = (y > ankle_y) & (y < hip_y + 0.05) & (np.abs(x) < abs(sho_l[0]))
         curve_y = {"upper_bottom": hip_y + 0.04, "left_pant": ankle_y, "right_pant": ankle_y}

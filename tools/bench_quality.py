@@ -68,6 +68,12 @@ def main(argv=None):
                          "inward sdf pull ~7x (measured r5). With the "
                          "joint-T+s init fix the curves start near gt and "
                          "1e-4 holds them smooth.")
+    ap.add_argument("--freeze-pose", action="store_true",
+                    help="diagnostic arm: disable opt_pose/opt_trans/"
+                         "opt_camera (synthetic scenes start at EXACT "
+                         "poses, so any drift is net harm — this arm "
+                         "isolates pose drift from canonical-geometry "
+                         "drift in the trend)")
     ap.add_argument("--scene", default="/tmp/recmv_quality_scene")
     ap.add_argument("--out", default=osp.join(REPO, "bench_quality.json"))
     args = ap.parse_args(argv)
@@ -108,6 +114,11 @@ def main(argv=None):
         for ph in ("coarse", "medium", "fine"):
             if f"loss_{ph}" in conf:
                 conf.put(f"loss_{ph}.pc_weight.occlusion_gate", 1.0)
+    if args.freeze_pose:
+        conf.put("train.opt_pose", False)
+        conf.put("train.opt_trans", False)
+        if "train.opt_camera" in conf:
+            conf.put("train.opt_camera", {})
     n_g = 2 if two else 1
     dataset, sampler = get_dataset_and_loader(
         scene, {"deformer": 256 * (1 + n_g) // 2, "render": 256}, 2, shuffle=True,
@@ -209,7 +220,24 @@ def main(argv=None):
     gt_rings = {name: np.asarray(boundary_ring(ylv, offset=off), np.float32)
                 for name, ylv, off in SCENE_CURVES[args.garment_type]}
 
+    # synthetic scenes start at EXACT poses/trans/camera — any optimizer
+    # movement of them is measurable drift (real data starts from noisy
+    # TCMR estimates; there the same movement is the point)
+    p0 = net.dataset.params
+    gt_scene = {"poses": np.array(p0.poses), "trans": np.array(p0.trans),
+                "camera": {k: np.array(v) for k, v in p0.camera.items()}}
+
+    def scene_drift(step):
+        sc = net.scene_tree()
+        dp = float(np.abs(np.asarray(sc["poses"]) - gt_scene["poses"]).max())
+        dt = float(np.abs(np.asarray(sc["trans"]) - gt_scene["trans"]).max())
+        dc = max((float(np.abs(np.asarray(v) - gt_scene["camera"][k]).max())
+                  for k, v in sc["camera"].items()), default=0.0)
+        print(f"[diag] step {step} scene drift: pose {dp:.5f} "
+              f"trans {dt:.5f} cam {dc:.5f}", flush=True)
+
     def canonical_diag(step):
+        scene_drift(step)
         meshes = net.discretize_sdf(net._ratio_dict(ratio), -net.sdf_shrink)
         for gi, (gname, off, band, _lab) in enumerate(pieces):
             g_v, _, g_nv, _ = meshes[1 + gi]
@@ -433,6 +461,7 @@ def main(argv=None):
                    "steps": args.steps, "init_epochs": args.init_epochs,
                    "pyramid": list(res[-1]),
                    "occlusion_gate": bool(args.occlusion_gate),
+                   "freeze_pose": bool(args.freeze_pose),
                    "curve_lr": args.curve_lr},
         "device": str(dev), "platform": dev.platform,
         "pred_to_gt_dist_per_frame": [round(d, 6) for d in one_sided],

@@ -144,7 +144,8 @@ def main():
     if mfu is not None:
         extra["mfu_pct_vs_bf16_peak"] = round(mfu, 2)
     for name in ("bench_fullstep.json", "bench_quality.json",
-                 "bench_quality_512.json", "bench_quality_two.json",
+                 "bench_quality_512.json", "bench_quality_512_gateon.json",
+                 "bench_quality_two.json",
                  "bench_quality_skirt.json", "bench_largepose.json",
                  "bench_animation.json"):
         p = osp.join(REPO, name)

@@ -68,6 +68,11 @@ def main(argv=None):
                          "inward sdf pull ~7x (measured r5). With the "
                          "joint-T+s init fix the curves start near gt and "
                          "1e-4 holds them smooth.")
+    ap.add_argument("--no-phases", action="store_true",
+                    help="diagnostic arm: stay on the coarse hierarchy "
+                         "(splat radius / remesh era / loss block) for "
+                         "the whole run — isolates the phase-switch "
+                         "dynamics from the trend")
     ap.add_argument("--freeze-pose", action="store_true",
                     help="diagnostic arm: disable opt_pose/opt_trans/"
                          "opt_camera (synthetic scenes start at EXACT "
@@ -295,7 +300,7 @@ def main(argv=None):
     # dominate a 6-step run and the phases need eras to matter anyway)
     phase_at = ({int(args.steps * 0.4): "medium",
                  int(args.steps * 0.75): "fine"}
-                if args.steps >= 100 else {})
+                if args.steps >= 100 and not args.no_phases else {})
     # The production radii (0.006→0.0041 NDC) are matched to production
     # mesh density: at the fine pyramid the MC vertex spacing ≈ grid
     # spacing ≈ 0.005 and radius ≈ 0.8×spacing, so splats tile the
